@@ -1,0 +1,35 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+This is the standard JAX pattern for testing sharding/mesh code without TPU
+hardware (SURVEY.md §4.6): XLA exposes 8 host-CPU devices, so shard_map/pjit
+paths execute real collectives.
+"""
+
+import os
+
+# Must be set before jax initializes. Force CPU: the ambient environment may
+# point JAX at a single real TPU (JAX_PLATFORMS=axon), but the suite needs the
+# 8-device virtual CPU mesh and float64 support.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# Belt and braces: the env var only works if jax wasn't imported yet (a pytest
+# plugin may have imported it); the config update works until first backend use.
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+REFERENCE_DIR = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def reference_dir():
+    if not os.path.isdir(REFERENCE_DIR):
+        pytest.skip("reference data not available")
+    return REFERENCE_DIR

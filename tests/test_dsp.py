@@ -1,0 +1,216 @@
+"""DSP layer tests.
+
+Golden parity: the reference repo bundles precomputed mel features
+(spmel/<spk>/<utt>.npy) for the bundled wavs (wavs/<spk>/<utt>.wav) produced
+by make_spect.py's scipy/librosa pipeline. Reproducing them bit-closely
+validates the whole chain: wav load, butter+filtfilt, seeded dither, strided
+STFT, Slaney mel filterbank, dB normalization.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import scipy.signal
+
+import jax
+import jax.numpy as jnp
+from jax import enable_x64
+
+from autovc_tpu.config import AudioConfig
+from autovc_tpu.dsp import (
+    MelFrontend,
+    butter_highpass,
+    dither_reference,
+    filtfilt,
+    frame_signal,
+    griffin_lim,
+    hann_window,
+    istft,
+    lfilter_zi,
+    mel_filterbank,
+    normalize_db,
+    denormalize_db,
+    read_wav,
+    robust_scale,
+    stft_complex,
+    stft_magnitude,
+)
+
+
+def test_hann_window_matches_scipy():
+    w = hann_window(1024)
+    ref = scipy.signal.get_window("hann", 1024, fftbins=True)
+    np.testing.assert_allclose(w, ref.astype(np.float32), atol=1e-7)
+
+
+def test_lfilter_zi_matches_scipy():
+    b, a = butter_highpass(30.0, 16000, 5)
+    np.testing.assert_allclose(lfilter_zi(b, a), scipy.signal.lfilter_zi(b, a), rtol=1e-10)
+
+
+def test_filtfilt_matches_scipy():
+    # XLA's FMA/reassociation on the ill-conditioned TF recurrence costs a few
+    # amplified ulps vs scipy's C loop; ~1e-6 absolute is the float64 floor.
+    rng = np.random.RandomState(0)
+    x = rng.randn(5000)
+    b, a = butter_highpass(30.0, 16000, 5)
+    ref = scipy.signal.filtfilt(b, a, x)
+    with enable_x64():
+        ours = np.asarray(filtfilt(b, a, jnp.asarray(x, jnp.float64)))
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_sos_filtfilt_matches_scipy_float32():
+    """The float32 production path: biquad cascade vs scipy.sosfiltfilt."""
+    from autovc_tpu.dsp import butter_highpass_sos, sos_filtfilt
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(3, 2000).astype(np.float32)
+    sos = butter_highpass_sos(30.0, 16000, 5)
+    ours = np.asarray(sos_filtfilt(sos, jnp.asarray(x)))
+    assert np.isfinite(ours).all()
+    for i in range(3):
+        ref = scipy.signal.sosfiltfilt(sos, x[i].astype(np.float64))
+        np.testing.assert_allclose(ours[i], ref, atol=5e-4)
+
+
+def test_sos_filtfilt_close_to_tf_filtfilt():
+    """sosfiltfilt and filtfilt implement the same zero-phase filter."""
+    from autovc_tpu.dsp import butter_highpass_sos, sos_filtfilt
+
+    rng = np.random.RandomState(8)
+    x = rng.randn(4000)
+    b, a = butter_highpass(30.0, 16000, 5)
+    sos = butter_highpass_sos(30.0, 16000, 5)
+    ref = scipy.signal.filtfilt(b, a, x)
+    ours = np.asarray(sos_filtfilt(sos, jnp.asarray(x, jnp.float32)))
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_mel_filterbank_shape_and_area():
+    fb = mel_filterbank(16000, 1024, 80, 90.0, 7600.0, dtype=np.float64)
+    assert fb.shape == (513, 80)
+    assert (fb >= 0).all()
+    # every filter is nonzero and triangular peaks are interior
+    assert (fb.sum(axis=0) > 0).all()
+
+
+def test_stft_framing_matches_stride_trick():
+    """frame_signal == the reference's reflect-pad + as_strided framing
+    (make_spect.py:36-48)."""
+    rng = np.random.RandomState(2)
+    x = rng.randn(5000)
+    n_fft, hop = 1024, 256
+    xp = np.pad(x, n_fft // 2, mode="reflect")
+    noverlap = n_fft - hop
+    t = (xp.shape[0] - noverlap) // hop
+    ref = np.lib.stride_tricks.as_strided(
+        xp, shape=(t, n_fft), strides=(hop * xp.strides[0], xp.strides[0])
+    )
+    ours = np.asarray(frame_signal(jnp.asarray(x, jnp.float32), n_fft, hop))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref.astype(np.float32), atol=1e-6)
+
+
+def test_stft_magnitude_matches_numpy_reference():
+    rng = np.random.RandomState(3)
+    x = rng.randn(4000)
+    n_fft, hop = 1024, 256
+    with enable_x64():
+        ours = np.asarray(stft_magnitude(jnp.asarray(x, jnp.float64), n_fft, hop))
+    # reference pySTFT (recomputed in numpy, returns (bins, T))
+    xp = np.pad(x, n_fft // 2, mode="reflect")
+    t = (xp.shape[0] - (n_fft - hop)) // hop
+    frames = np.stack([xp[i * hop : i * hop + n_fft] for i in range(t)])
+    win = scipy.signal.get_window("hann", n_fft, fftbins=True)
+    ref = np.abs(np.fft.rfft(win * frames, n=n_fft))
+    np.testing.assert_allclose(ours, ref, atol=1e-9)
+
+
+@pytest.mark.parametrize(
+    "speaker,utt", [("p225", "p225_003"), ("p001", "p001_003"), ("p228", "p228_003")]
+)
+def test_golden_mel_parity(reference_dir, speaker, utt):
+    """Full-chain golden test vs bundled spmel features (SURVEY §7 stage-1 gate)."""
+    wav_dir = os.path.join(reference_dir, "wavs", speaker)
+    files = sorted(os.listdir(wav_dir))
+    target = utt + ".wav"
+    n_prior = 0
+    for f in files:
+        if f == target:
+            break
+        x, _ = read_wav(os.path.join(wav_dir, f))
+        n_prior += x.shape[0]
+    else:
+        pytest.fail(f"{target} not found")
+
+    x, sr = read_wav(os.path.join(wav_dir, target))
+    assert sr == 16000
+    noise = dither_reference(x.shape[0], int(speaker[1:]), n_prior)
+
+    with enable_x64():
+        fe = MelFrontend(AudioConfig(), dtype=jnp.float64)
+        ours = np.asarray(fe.mel_features(jnp.asarray(x, jnp.float64), noise))
+
+    golden = np.load(os.path.join(reference_dir, "spmel", speaker, utt + ".npy"))
+    assert ours.shape == golden.shape
+    err = np.abs(ours.astype(np.float32) - golden).max()
+    assert err < 1e-5, f"golden mel mismatch: max abs err {err}"
+
+
+def test_float32_extraction_close_to_golden(reference_dir):
+    """The production float32 device path stays within loose tolerance."""
+    x, _ = read_wav(os.path.join(reference_dir, "wavs", "p225", "p225_003.wav"))
+    noise = dither_reference(x.shape[0], 225, 0)
+    fe = MelFrontend(AudioConfig(), dtype=jnp.float32)
+    ours = np.asarray(fe.mel_features(jnp.asarray(x, jnp.float32), noise))
+    golden = np.load(os.path.join(reference_dir, "spmel", "p225", "p225_003.npy"))
+    assert ours.shape == golden.shape
+    assert np.abs(ours - golden).max() < 5e-3
+
+
+def test_robust_scale_matches_sklearn():
+    from sklearn.preprocessing import RobustScaler
+
+    rng = np.random.RandomState(4)
+    x = rng.randn(10000)
+    ref = RobustScaler(quantile_range=(5.0, 95.0)).fit_transform(x.reshape(-1, 1))[:, 0]
+    ours = np.asarray(robust_scale(jnp.asarray(x, jnp.float32)))
+    np.testing.assert_allclose(ours, ref.astype(np.float32), atol=1e-4)
+
+
+def test_normalize_denormalize_roundtrip():
+    m = jnp.asarray(np.abs(np.random.RandomState(5).randn(16, 80)) + 1e-3)
+    s = normalize_db(m)
+    m2 = denormalize_db(s)
+    inside = (s > 0) & (s < 1)
+    np.testing.assert_allclose(
+        np.asarray(m2)[np.asarray(inside)], np.asarray(m)[np.asarray(inside)], rtol=1e-4
+    )
+
+
+def test_istft_reconstructs_signal():
+    rng = np.random.RandomState(6)
+    x = rng.randn(4096).astype(np.float32)
+    spec = stft_complex(jnp.asarray(x))
+    y = np.asarray(istft(spec, length=4096))
+    # interior reconstruction (edges lose energy to the reflect pad)
+    np.testing.assert_allclose(y[512:-512], x[512:-512], atol=1e-3)
+
+
+def test_griffin_lim_reduces_spectral_error():
+    t = np.arange(8192) / 16000.0
+    x = np.sin(2 * np.pi * 440 * t).astype(np.float32) * 0.5
+    mag = stft_magnitude(jnp.asarray(x))
+
+    def rel_err(n_iter):
+        y = griffin_lim(mag, n_iter=n_iter)
+        mag2 = stft_magnitude(y)
+        tt = min(mag.shape[0], mag2.shape[0])
+        return float(jnp.linalg.norm(mag2[:tt] - mag[:tt]) / jnp.linalg.norm(mag[:tt]))
+
+    e4, e32 = rel_err(4), rel_err(32)
+    # converges; residual is edge-frame dominated on a short signal
+    assert e32 < e4, f"griffin-lim did not converge: {e4} -> {e32}"
+    assert e32 < 0.2, f"griffin-lim spectral error too high: {e32}"
