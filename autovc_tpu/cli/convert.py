@@ -1,0 +1,90 @@
+"""Conversion CLI (reference conversion.py).
+
+Loads a trained checkpoint + metadata.pkl, runs every conversion, writes
+results_<run>.pkl ([(id, mel)], the vocoder input contract) and optional
+before/after spectrogram PDFs.
+
+Usage: python -m autovc_tpu.cli.convert --main_dir DIR --run_dir RUNDIR
+           [--model_type spmel|stft] [--use_ema] [--pdf]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from autovc_tpu.config import Config, ModelConfig
+from autovc_tpu.convert import Converter, run_conversions
+from autovc_tpu.data.manifest import load_conversion_metadata
+from autovc_tpu.models import build_generator
+
+
+def load_solver_checkpoint(run_dir: str):
+    """Restore the latest orbax checkpoint saved by train.Solver."""
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = os.path.abspath(os.path.join(run_dir, "checkpoints"))
+    mgr = ocp.CheckpointManager(ckpt_dir)
+    step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+    restored = mgr.restore(step)["state"]
+    return restored, step
+
+
+def main(argv=None):
+    from autovc_tpu.cli._common import add_platform_arg, apply_platform
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    add_platform_arg(ap)
+    ap.add_argument("--main_dir", required=True)
+    ap.add_argument("--run_dir", required=True)
+    ap.add_argument("--model_type", default="spmel", choices=["spmel", "stft"])
+    ap.add_argument("--use_ema", action="store_true", help="convert with EMA weights")
+    ap.add_argument("--pdf", action="store_true", help="save spectrogram PDFs")
+    ap.add_argument("--out", default=None, help="results pickle path")
+    args = ap.parse_args(argv)
+    apply_platform(args)
+
+    restored, step = load_solver_checkpoint(args.run_dir)
+    params = restored["ema_params" if args.use_ema else "params"]
+    stats = restored["batch_stats"]
+
+    cfg = Config(model=ModelConfig(model_type=args.model_type), main_dir=args.main_dir)
+    model = build_generator(cfg.model)
+    converter = Converter(model, params, stats, cfg)
+
+    meta_path = os.path.join(args.main_dir, args.model_type, "metadata.pkl")
+    specs = load_conversion_metadata(meta_path)
+    out_path = args.out or os.path.join(
+        args.main_dir, args.model_type, f"results_step{step}.pkl"
+    )
+    results = run_conversions(converter, specs, out_path)
+
+    if args.pdf:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        for (name, mel), spec in zip(results, specs):
+            fig, axs = plt.subplots(2, 1, sharex=True, figsize=(8, 6))
+            src = spec.src_features
+            if args.model_type == "stft":
+                src = src @ np.asarray(converter._mel_basis)
+            axs[0].imshow(src.T * 100 - 100, origin="lower", aspect="auto")
+            axs[0].set(title="Original spectrogram")
+            axs[1].imshow(mel.T * 100 - 100, origin="lower", aspect="auto")
+            axs[1].set(title="Converted spectrogram")
+            fig.savefig(
+                os.path.join(os.path.dirname(out_path), f"{name}_conversion.pdf")
+            )
+            plt.close(fig)
+
+    print(f"[convert] wrote {out_path} ({len(results)} conversions, step {step})")
+
+
+if __name__ == "__main__":
+    main()

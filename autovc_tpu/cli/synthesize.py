@@ -1,0 +1,68 @@
+"""Vocoder CLI (reference vocoder.py / synthesis.py).
+
+Reads a results_*.pkl ([(name, mel)]) and writes <name>.wav per entry.
+
+Vocoder selection (README.md:43 lists HiFi-GAN as the pretrained
+alternative; vocoder_stft.ipynb used Griffin-Lim):
+  --vocoder griffinlim  phase reconstruction from mel via pseudo-inverse
+  --vocoder wavenet     autoregressive WaveNet fast-generation scan
+  --vocoder hifigan     parallel HiFi-GAN generator (throughput path)
+Neural vocoders load weights from --vocoder_ckpt (orbax dir or .npz).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from autovc_tpu.config import Config
+from autovc_tpu.data.manifest import load_results
+from autovc_tpu.dsp.audio_io import write_wav
+
+
+def main(argv=None):
+    from autovc_tpu.cli._common import add_platform_arg, apply_platform
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    add_platform_arg(ap)
+    ap.add_argument("--results", required=True, help="results_*.pkl from convert")
+    ap.add_argument("--out_dir", required=True)
+    ap.add_argument("--vocoder", default="griffinlim", choices=["griffinlim", "wavenet", "hifigan"])
+    ap.add_argument("--vocoder_ckpt", default=None)
+    ap.add_argument("--gl_iters", type=int, default=60)
+    args = ap.parse_args(argv)
+    apply_platform(args)
+
+    cfg = Config()
+    os.makedirs(args.out_dir, exist_ok=True)
+    results = load_results(args.results)
+
+    if args.vocoder == "griffinlim":
+        from autovc_tpu.vocoder.griffinlim import mel_to_waveform
+
+        synth = lambda mel: mel_to_waveform(mel, cfg.audio, n_iter=args.gl_iters)
+    elif args.vocoder == "wavenet":
+        from autovc_tpu.vocoder.wavenet import WaveNetVocoder
+
+        voc = WaveNetVocoder.from_checkpoint(cfg.wavenet, args.vocoder_ckpt)
+        synth = lambda mel: voc.generate(mel)
+    else:
+        from autovc_tpu.vocoder.hifigan import HiFiGANVocoder
+
+        voc = HiFiGANVocoder.from_checkpoint(cfg.hifigan, args.vocoder_ckpt)
+        synth = lambda mel: voc.generate(mel)
+
+    for name, mel in results:
+        wav = np.asarray(synth(np.asarray(mel, np.float32)))
+        peak = np.abs(wav).max()
+        if peak > 0.999:  # hparams.py:78-79 rescaling contract
+            wav = wav / peak * 0.999
+        path = os.path.join(args.out_dir, f"{name}.wav")
+        write_wav(path, wav, cfg.audio.sample_rate)  # vocoder.py:22
+        print(f"[synthesize] {path} ({wav.shape[-1] / cfg.audio.sample_rate:.2f}s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Training CLI (reference main.py:43-82).
+
+Idempotent orchestration like the reference main(): build features if the
+feature dir is missing, build metadata if train.pkl is missing, then train.
+
+Usage: python -m autovc_tpu.cli.train --main_dir DIR --run_name NAME
+           [--model_type spmel|stft|wav] [--num_iters N] [--batch_size B]
+           [--len_crop T] [--lr LR] [--lambda_cd W] [--lambda_SISNR W]
+           [--lr_scheduler Cosine|Plateau] [--depth D] [--ema DECAY]
+           [--resume] [--data_parallel N] [--model_parallel N] [--wandb]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from datetime import datetime
+
+from autovc_tpu.config import AudioConfig, Config, ModelConfig, TrainConfig
+from autovc_tpu.data import BatchIterator, UtteranceDataset
+
+
+def main(argv=None):
+    from autovc_tpu.cli._common import add_platform_arg, apply_platform
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    add_platform_arg(ap)
+    # model configuration (main.py:47-53,65)
+    ap.add_argument("--lambda_cd", type=float, default=1.0)
+    ap.add_argument("--lambda_SISNR", type=float, default=1.0)
+    ap.add_argument("--dim_neck", type=int, default=32)
+    ap.add_argument("--dim_emb", type=int, default=256)
+    ap.add_argument("--dim_pre", type=int, default=512)
+    ap.add_argument("--freq", type=int, default=32)
+    ap.add_argument("--depth", type=int, default=1)
+    # training configuration (main.py:56-71)
+    ap.add_argument("--main_dir", required=True)
+    ap.add_argument("--batch_size", type=int, default=2)
+    ap.add_argument("--num_iters", type=int, default=10_000_000)
+    ap.add_argument("--len_crop", type=int, default=128)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--model_type", default="spmel", choices=["spmel", "stft", "wav"])
+    ap.add_argument("--run_name", required=True)
+    ap.add_argument("--lr_scheduler", default=None, choices=[None, "Cosine", "Plateau"])
+    ap.add_argument("--ema", type=float, default=0.9999)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--log_step", type=int, default=100)
+    ap.add_argument("--checkpoint_step", type=int, default=100)
+    ap.add_argument("--seed", type=int, default=0)
+    # parallelism (new capability; SURVEY §2.2)
+    ap.add_argument("--data_parallel", type=int, default=1)
+    ap.add_argument("--model_parallel", type=int, default=1)
+    ap.add_argument("--wandb", action="store_true")
+    args = ap.parse_args(argv)
+    apply_platform(args)
+
+    run_name = args.run_name
+    if not args.resume:
+        run_name += datetime.now().strftime("_%y%B%d_%H%M_%S")  # main.py:76
+
+    cfg = Config(
+        audio=AudioConfig(),
+        model=ModelConfig(
+            model_type=args.model_type,
+            dim_neck=args.dim_neck,
+            dim_emb=args.dim_emb,
+            dim_pre=args.dim_pre,
+            freq=args.freq,
+            convtas_depth=args.depth,
+        ),
+        train=TrainConfig(
+            lambda_cd=args.lambda_cd,
+            lambda_sisnr=args.lambda_SISNR,
+            batch_size=args.batch_size,
+            num_iters=args.num_iters,
+            len_crop=args.len_crop,
+            lr=args.lr,
+            lr_scheduler=args.lr_scheduler,
+            ema_decay=args.ema,
+            log_step=args.log_step,
+            checkpoint_step=args.checkpoint_step,
+            seed=args.seed,
+            data_parallel=args.data_parallel,
+            model_parallel=args.model_parallel,
+        ),
+        main_dir=args.main_dir,
+        run_name=run_name,
+    )
+
+    feature_dir = os.path.join(args.main_dir, args.model_type)
+    if not os.path.isdir(feature_dir):  # main.py:19-24
+        print("Did not find folder with spectrograms - creating...")
+        from autovc_tpu.cli.make_spect import extract_all
+
+        extract_all(args.main_dir, model_type=args.model_type)
+    if not os.path.exists(os.path.join(feature_dir, "train.pkl")):  # main.py:27-33
+        print("Metadata does not exist - creating...")
+        from autovc_tpu.cli.make_metadata import main as mm
+
+        mm(["--main_dir", args.main_dir, "--model_type", args.model_type])
+
+    ds = UtteranceDataset(feature_dir)
+    it = BatchIterator(ds, cfg.train.batch_size, cfg.train.len_crop, seed=cfg.train.seed)
+
+    from autovc_tpu.train import Solver  # deferred: jax init after data checks
+
+    solver = Solver(cfg, it, use_wandb=args.wandb)
+    solver.train()
+
+
+if __name__ == "__main__":
+    main()

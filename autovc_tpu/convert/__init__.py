@@ -1,0 +1,102 @@
+"""Conversion (inference) pipeline (reference conversion.py:33-123).
+
+Batch voice conversion: pad source features to a multiple of freq, run the
+generator with (src emb, trg emb), strip padding, optionally project STFT
+outputs to mel for the vocoder, and write the results manifest
+(results_<id>.pkl contract).
+
+TPU notes: full utterances are padded to a static bucket length so repeated
+conversions reuse one compiled program (XLA recompiles per shape otherwise);
+the mel projection rides the same jit.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from autovc_tpu.config import Config
+from autovc_tpu.data.manifest import ConversionSpec, save_results
+from autovc_tpu.dsp.mel import mel_filterbank
+
+
+def pad_seq(x: np.ndarray, base: int = 32) -> tuple[np.ndarray, int]:
+    """Right-pad (T, F) to a multiple of `base` (conversion.py:40-44)."""
+    len_out = int(base * math.ceil(x.shape[0] / base))
+    len_pad = len_out - x.shape[0]
+    return np.pad(x, ((0, len_pad), (0, 0)), "constant"), len_pad
+
+
+def bucket_length(t: int, base: int = 32, bucket: int = 256) -> int:
+    """Static compilation bucket: multiple of `bucket` (itself a multiple of
+    base) covering t — bounds the number of distinct compiled shapes."""
+    assert bucket % base == 0
+    return int(bucket * math.ceil(t / bucket))
+
+
+class Converter:
+    """Stateful wrapper holding the jitted conversion function per shape."""
+
+    def __init__(self, model, params, batch_stats, cfg: Config, use_buckets: bool = True):
+        self.model = model
+        self.variables = {"params": params, "batch_stats": batch_stats}
+        self.cfg = cfg
+        self.use_buckets = use_buckets
+        self._mel_basis = jnp.asarray(
+            mel_filterbank(
+                cfg.audio.sample_rate,
+                cfg.audio.n_fft,
+                cfg.audio.n_mels,
+                cfg.audio.mel_fmin,
+                cfg.audio.mel_fmax,
+            )
+        )
+
+        def fwd(variables, x, emb_org, emb_trg):
+            _, x_psnt, _ = self.model.apply(variables, x, emb_org, emb_trg, train=False)
+            return x_psnt
+
+        self._fwd = jax.jit(fwd)
+
+    def convert(self, spec: ConversionSpec) -> np.ndarray:
+        """One conversion -> output features (T, n_bins), padding stripped
+        (conversion.py:58-100)."""
+        x, len_pad = pad_seq(spec.src_features, base=self.cfg.model.freq)
+        if self.use_buckets:
+            tb = bucket_length(x.shape[0], self.cfg.model.freq)
+            extra = tb - x.shape[0]
+            x = np.pad(x, ((0, extra), (0, 0)), "constant")
+            len_pad += extra
+        out = self._fwd(
+            self.variables,
+            jnp.asarray(x[None]),
+            jnp.asarray(spec.src_embedding[None]),
+            jnp.asarray(spec.trg_embedding[None]),
+        )
+        out = np.asarray(out[0])
+        return out[: out.shape[0] - len_pad] if len_pad else out
+
+    def convert_to_mel(self, spec: ConversionSpec) -> np.ndarray:
+        """Conversion + mel projection for the vocoder: spmel output passes
+        through; stft output is projected via the mel basis
+        (conversion.py:102: np.dot(uttr_trg, mel_basis))."""
+        out = self.convert(spec)
+        if self.cfg.model.model_type == "stft":
+            out = np.asarray(jnp.asarray(out) @ self._mel_basis)
+        return out
+
+
+def run_conversions(
+    converter: Converter,
+    specs: Sequence[ConversionSpec],
+    results_path: str | None = None,
+) -> list[tuple[str, np.ndarray]]:
+    """The conversion.py main loop: all specs -> [(id, mel)], optional pickle."""
+    results = [(str(s.conversion_id), converter.convert_to_mel(s)) for s in specs]
+    if results_path:
+        save_results(results_path, results)
+    return results

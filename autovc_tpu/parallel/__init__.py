@@ -1,0 +1,15 @@
+from autovc_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated,
+    param_shardings,
+    shard_batch,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "param_shardings",
+    "shard_batch",
+]

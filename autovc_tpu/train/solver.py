@@ -1,0 +1,199 @@
+"""Training orchestration (reference Solver, solver_encoder.py:52-421),
+rebuilt around functional state + GSPMD sharding + orbax checkpointing.
+
+Capabilities preserved: variant selection, Adam, Cosine/Plateau schedules
+(bug-fixed), checkpoint every `checkpoint_step` with resume restoring
+model/optimizer/step (solver_encoder.py:147-153,332-346), metrics logging,
+EMA weights (real). New capabilities: multi-chip data parallelism over a
+device mesh, optional tensor parallelism, async-capable orbax checkpoints.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import orbax.checkpoint as ocp
+
+from autovc_tpu.config import Config
+from autovc_tpu.models import build_generator
+from autovc_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicated,
+)
+from autovc_tpu.train.metrics import MetricsLogger
+from autovc_tpu.train.schedule import ReduceLROnPlateau
+from autovc_tpu.train.state import TrainState, init_ema
+from autovc_tpu.train.step import make_optimizer, make_train_step
+from autovc_tpu.train.step import loss_fn as _loss_fn
+
+
+class Solver:
+    def __init__(
+        self,
+        cfg: Config,
+        data_iter: Iterator,
+        run_dir: str | None = None,
+        mesh=None,
+        use_wandb: bool = False,
+    ):
+        self.cfg = cfg
+        self.data_iter = data_iter
+        self.run_dir = run_dir or os.path.join(cfg.main_dir, "runs", cfg.run_name)
+        os.makedirs(self.run_dir, exist_ok=True)
+
+        self.mesh = mesh or make_mesh(
+            data=cfg.train.data_parallel, model=cfg.train.model_parallel
+        )
+        self.model = build_generator(cfg.model)
+        self.optimizer = make_optimizer(cfg)
+        self.metrics = MetricsLogger(self.run_dir, cfg.run_name, use_wandb, cfg)
+        self.plateau = (
+            ReduceLROnPlateau(cfg.train.plateau_factor, cfg.train.plateau_patience)
+            if cfg.train.lr_scheduler == "Plateau"
+            else None
+        )
+
+        self.ckpt_dir = os.path.abspath(os.path.join(self.run_dir, "checkpoints"))
+        self.ckptr = ocp.CheckpointManager(
+            self.ckpt_dir, options=ocp.CheckpointManagerOptions(max_to_keep=3)
+        )
+
+        self.state = self._init_state()
+        self._step_fn = self._compile_step()
+
+    # ------------------------------------------------------------------ init
+
+    def _example_batch(self):
+        x, emb = next(self.data_iter)
+        return jnp.asarray(x), jnp.asarray(emb)
+
+    def _init_state(self) -> TrainState:
+        x, emb = self._example_batch()
+        rng = jax.random.PRNGKey(self.cfg.train.seed)
+        variables = self.model.init(rng, x, emb, emb, train=True)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.optimizer.init(params)
+        state = TrainState(
+            step=jnp.asarray(0, jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            ema_params=init_ema(params),
+        )
+        # place on mesh: params replicated (or TP-sharded), ready for DP batches
+        tp = self.cfg.train.model_parallel > 1
+        psh = param_shardings(params, self.mesh, tensor_parallel=tp)
+        rep = replicated(self.mesh)
+        state = TrainState(
+            step=jax.device_put(state.step, rep),
+            params=jax.device_put(state.params, psh),
+            batch_stats=jax.device_put(state.batch_stats, rep),
+            opt_state=jax.device_put(state.opt_state, rep),
+            ema_params=jax.device_put(state.ema_params, psh),
+        )
+        # resume (reference checkpoint-existence semantics,
+        # solver_encoder.py:92-98,147-153)
+        latest = self.ckptr.latest_step()
+        if latest is not None:
+            state = self.restore(latest, state)
+            print(f"Continue from iteration: {int(state.step)}")
+        return state
+
+    def _compile_step(self):
+        raw = make_train_step(self.model, self.cfg, self.optimizer)
+        bsh = batch_sharding(self.mesh)
+        rep = replicated(self.mesh)
+        return jax.jit(
+            raw,
+            in_shardings=(None, bsh, bsh, None),
+            donate_argnums=(0,),
+        )
+
+    # ----------------------------------------------------------------- train
+
+    def train(self, num_iters: int | None = None):
+        cfg = self.cfg
+        num_iters = num_iters if num_iters is not None else cfg.train.num_iters
+        lr_scale = jnp.asarray(1.0, jnp.float32)
+        bsh = batch_sharding(self.mesh)
+        log_keys = ["g_loss_id", "g_loss_id_psnt", "g_loss_cd"] if cfg.model.model_type != "wav" else [
+            "g_loss_id", "g_loss_gen", "g_loss_cd", "g_loss_sisnr"
+        ]
+
+        print("Starting training...", flush=True)
+        i = int(self.state.step)
+        last_metrics = {}
+        self.history: list[dict] = []
+        while i < num_iters:
+            x, emb = next(self.data_iter)
+            x = jax.device_put(jnp.asarray(x), bsh)
+            emb = jax.device_put(jnp.asarray(emb), bsh)
+            self.state, m = self._step_fn(self.state, x, emb, lr_scale)
+            i += 1
+
+            if self.plateau is not None:
+                lr_scale = jnp.asarray(self.plateau.step(float(m["g_loss"])), jnp.float32)
+
+            if i % cfg.train.log_step == 0:
+                last_metrics = {k: float(v) for k, v in m.items()}
+                self.history.append(dict(last_metrics, step=i))
+                self.metrics.log(i, last_metrics)
+                self.metrics.console(i, num_iters, last_metrics, keys=log_keys)
+            if i % cfg.train.checkpoint_step == 0:
+                self.save(i)
+        self.ckptr.wait_until_finished()
+        return last_metrics
+
+    # ------------------------------------------------------------ checkpoint
+
+    def save(self, step: int):
+        self.ckptr.save(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(
+                    {
+                        "params": self.state.params,
+                        "batch_stats": self.state.batch_stats,
+                        "opt_state": self.state.opt_state,
+                        "ema_params": self.state.ema_params,
+                        "step": self.state.step,
+                    }
+                )
+            ),
+        )
+
+    def restore(self, step: int, like: TrainState) -> TrainState:
+        target = {
+            "params": like.params,
+            "batch_stats": like.batch_stats,
+            "opt_state": like.opt_state,
+            "ema_params": like.ema_params,
+            "step": like.step,
+        }
+        restored = self.ckptr.restore(
+            step, args=ocp.args.Composite(state=ocp.args.StandardRestore(target))
+        )["state"]
+        return TrainState(
+            step=restored["step"],
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            ema_params=restored["ema_params"],
+        )
+
+    # ------------------------------------------------------------------ eval
+
+    def eval_loss(self, x, emb) -> dict:
+        _, (metrics, _) = _loss_fn(
+            self.model, self.cfg, self.state.params, self.state.batch_stats,
+            jnp.asarray(x), jnp.asarray(emb), train=False,
+        )
+        return {k: float(v) for k, v in metrics.items()}

@@ -1,0 +1,152 @@
+"""Training engine tests: loss parity with the reference formulas, smoke
+training on the bundled corpus, checkpoint/resume, EMA, schedules, and
+multi-device data parallelism on the virtual CPU mesh."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from autovc_tpu.config import Config, ModelConfig, TrainConfig
+from autovc_tpu.data import BatchIterator, UtteranceDataset
+from autovc_tpu.parallel import make_mesh
+from autovc_tpu.train import Solver, cosine_annealing, ReduceLROnPlateau
+from autovc_tpu.train.state import ema_update
+
+
+LEN_CROP = 64  # short crop (still a multiple of freq=32) keeps CPU tests fast
+
+
+def tiny_cfg(tmp_path, *, checkpoint_step=10_000, log_step=2, **train_kw):
+    train = TrainConfig(
+        batch_size=2, len_crop=LEN_CROP, log_step=log_step,
+        checkpoint_step=checkpoint_step, num_iters=10, **train_kw,
+    )
+    return Config(
+        model=ModelConfig(model_type="spmel"),
+        train=train,
+        main_dir=str(tmp_path),
+        run_name="t",
+    )
+
+
+@pytest.fixture(scope="module")
+def spmel_iter(reference_dir):
+    ds = UtteranceDataset(reference_dir + "/spmel")
+    return lambda seed=0: BatchIterator(ds, batch_size=2, len_crop=LEN_CROP, seed=seed)
+
+
+def test_smoke_train_loss_decreases(tmp_path, spmel_iter):
+    cfg = tiny_cfg(tmp_path)
+    solver = Solver(cfg, spmel_iter(), run_dir=str(tmp_path / "run"))
+    solver.train(num_iters=20)
+    first, last = solver.history[0], solver.history[-1]
+    assert last["g_loss"] < first["g_loss"], f"loss did not decrease: {first} -> {last}"
+    # eval-mode loss is finite and computable
+    x, emb = next(spmel_iter(seed=99))
+    assert np.isfinite(solver.eval_loss(x, emb)["g_loss"])
+
+
+def test_checkpoint_resume_restores_step_and_params(tmp_path, spmel_iter):
+    cfg = tiny_cfg(tmp_path, checkpoint_step=5)
+    run_dir = str(tmp_path / "run")
+    s1 = Solver(cfg, spmel_iter(), run_dir=run_dir)
+    s1.train(num_iters=5)
+    s1.ckptr.wait_until_finished()
+    p_saved = jax.tree_util.tree_leaves(s1.state.params)[0]
+
+    s2 = Solver(cfg, spmel_iter(), run_dir=run_dir)
+    assert int(s2.state.step) == 5
+    p_restored = jax.tree_util.tree_leaves(s2.state.params)[0]
+    np.testing.assert_allclose(np.asarray(p_saved), np.asarray(p_restored))
+
+
+def test_ema_is_real_average():
+    p = {"w": jnp.ones((3,))}
+    e = {"w": jnp.zeros((3,))}
+    out = ema_update(e, p, 0.9)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.1 * np.ones(3), rtol=1e-6)
+
+
+def test_cosine_annealing_matches_torch_formula():
+    # lr(0)=base, lr(T)=eta_min, lr(T/2)=base/2
+    assert float(cosine_annealing(0, 10000)) == pytest.approx(1.0)
+    assert float(cosine_annealing(10000, 10000)) == pytest.approx(0.0, abs=1e-6)
+    assert float(cosine_annealing(5000, 10000)) == pytest.approx(0.5, rel=1e-5)
+
+
+def test_plateau_reduces_after_patience():
+    pl = ReduceLROnPlateau(factor=0.5, patience=2)
+    scale = 1.0
+    pl.step(1.0)  # best=1.0
+    for _ in range(3):
+        scale = pl.step(1.0)  # no improvement
+    assert scale == pytest.approx(0.5)
+
+
+def test_wav_variant_trains(tmp_path, reference_dir):
+    """End-to-end wav-variant step: synthetic waveform features at the real
+    crop length contract (33536 -> latent 128)."""
+    from autovc_tpu.config import AudioConfig, wav_len_crop
+
+    L = wav_len_crop(AudioConfig())  # 33536
+    rng = np.random.default_rng(0)
+
+    class FakeIter:
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            return (
+                rng.normal(size=(2, L, 1)).astype(np.float32),
+                rng.normal(size=(2, 256)).astype(np.float32),
+            )
+
+    cfg = Config(
+        model=ModelConfig(model_type="wav", convtas_depth=1),
+        train=TrainConfig(batch_size=2, len_crop=L, log_step=100, checkpoint_step=100),
+        main_dir=str(tmp_path),
+        run_name="w",
+    )
+    solver = Solver(cfg, FakeIter(), run_dir=str(tmp_path / "runw"))
+    m = None
+    state0 = jax.tree_util.tree_leaves(solver.state.params)[0].copy()
+    solver.train(num_iters=2)
+    assert int(solver.state.step) == 2
+    state1 = jax.tree_util.tree_leaves(solver.state.params)[0]
+    assert not np.allclose(np.asarray(state0), np.asarray(state1))
+
+
+def test_data_parallel_matches_single_device(tmp_path, spmel_iter):
+    """DP over the 8-device CPU mesh computes the same update as 1 device."""
+    cfg = tiny_cfg(tmp_path)
+    mesh1 = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    mesh8 = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+
+    s1 = Solver(cfg, spmel_iter(), run_dir=str(tmp_path / "a"), mesh=mesh1)
+    s8 = Solver(cfg, spmel_iter(), run_dir=str(tmp_path / "b"), mesh=mesh8)
+    s1.train(num_iters=3)
+    s8.train(num_iters=3)
+    p1 = jax.tree_util.tree_leaves(s1.state.params)[0]
+    p8 = jax.tree_util.tree_leaves(s8.state.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=1e-3)
+
+
+def test_loss_formula_matches_reference_composition(spmel_iter):
+    """total = id + id_psnt + lambda_cd*cd (solver_encoder.py:243)."""
+    from autovc_tpu.train.step import loss_fn
+    from autovc_tpu.models import build_generator
+
+    cfg = Config(model=ModelConfig(model_type="spmel"), train=TrainConfig(lambda_cd=2.5))
+    model = build_generator(cfg.model)
+    x, emb = next(spmel_iter())
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(emb), jnp.asarray(emb))
+    total, (m, _) = loss_fn(
+        model, cfg, variables["params"], variables.get("batch_stats", {}),
+        jnp.asarray(x), jnp.asarray(emb),
+    )
+    expect = m["g_loss_id"] + m["g_loss_id_psnt"] + 2.5 * m["g_loss_cd"]
+    assert float(total) == pytest.approx(float(expect), rel=1e-6)
