@@ -41,10 +41,16 @@ def main(argv=None):
     add_platform_arg(ap)
     ap.add_argument("--main_dir", required=True)
     ap.add_argument("--run_dir", required=True)
-    ap.add_argument("--model_type", default="spmel", choices=["spmel", "stft"])
+    ap.add_argument("--model_type", default="spmel", choices=["spmel", "stft", "wav"])
     ap.add_argument("--use_ema", action="store_true", help="convert with EMA weights")
     ap.add_argument("--pdf", action="store_true", help="save spectrogram PDFs")
     ap.add_argument("--out", default=None, help="results pickle path")
+    ap.add_argument("--depth", type=int, default=1, help="ConvTasNet depth (wav model)")
+    ap.add_argument(
+        "--all_pairs",
+        action="store_true",
+        help="N x N conversion matrix over all speakers (conversion_temp.py mode)",
+    )
     args = ap.parse_args(argv)
     apply_platform(args)
 
@@ -52,12 +58,27 @@ def main(argv=None):
     params = restored["ema_params" if args.use_ema else "params"]
     stats = restored["batch_stats"]
 
-    cfg = Config(model=ModelConfig(model_type=args.model_type), main_dir=args.main_dir)
+    cfg = Config(
+        model=ModelConfig(model_type=args.model_type, convtas_depth=args.depth),
+        main_dir=args.main_dir,
+    )
     model = build_generator(cfg.model)
-    converter = Converter(model, params, stats, cfg)
+    if args.model_type == "wav":
+        from autovc_tpu.convert import WavConverter
 
-    meta_path = os.path.join(args.main_dir, args.model_type, "metadata.pkl")
-    specs = load_conversion_metadata(meta_path)
+        converter = WavConverter(model, params, stats, cfg)
+    else:
+        converter = Converter(model, params, stats, cfg)
+
+    feature_dir = os.path.join(args.main_dir, args.model_type)
+    if args.all_pairs:
+        from autovc_tpu.convert import all_pairs_specs
+        from autovc_tpu.data.manifest import load_train_manifest
+
+        entries = load_train_manifest(os.path.join(feature_dir, "train.pkl"))
+        specs = all_pairs_specs(entries, feature_dir)
+    else:
+        specs = load_conversion_metadata(os.path.join(feature_dir, "metadata.pkl"))
     out_path = args.out or os.path.join(
         args.main_dir, args.model_type, f"results_step{step}.pkl"
     )
@@ -74,6 +95,13 @@ def main(argv=None):
             src = spec.src_features
             if args.model_type == "stft":
                 src = src @ np.asarray(converter._mel_basis)
+            elif args.model_type == "wav":
+                # source is a waveform; show its mel (conversion_nina.py:123-146)
+                import jax.numpy as jnp
+
+                src = np.asarray(
+                    converter.frontend.mel_features(jnp.asarray(src[..., 0]))
+                )
             axs[0].imshow(src.T * 100 - 100, origin="lower", aspect="auto")
             axs[0].set(title="Original spectrogram")
             axs[1].imshow(mel.T * 100 - 100, origin="lower", aspect="auto")

@@ -114,6 +114,7 @@ class TrainConfig:
     ema_decay: float = 0.9999  # applied as a REAL per-step EMA (ref bug fixed)
     log_step: int = 100
     checkpoint_step: int = 100
+    log_spectrograms: bool = False  # dump original/reconstructed figures
     seed: int = 0
     # parallelism: number of data-parallel shards (mesh axis 'data') and
     # tensor-parallel shards (mesh axis 'model'); 1 disables the axis

@@ -100,3 +100,86 @@ def run_conversions(
     if results_path:
         save_results(results_path, results)
     return results
+
+
+class WavConverter:
+    """Raw-waveform conversion (reference conversion_nina.py:42-189).
+
+    Input features are robust-scaled waveforms (L, 1); the generator outputs
+    a waveform directly. The vocoder mel is RE-EXTRACTED from the output
+    waveform (conversion_nina.py:144-146) via the STFT+mel frontend.
+    """
+
+    def __init__(self, model, params, batch_stats, cfg: Config):
+        from autovc_tpu.dsp.features import MelFrontend
+
+        self.model = model
+        self.variables = {"params": params, "batch_stats": batch_stats}
+        self.cfg = cfg
+        self.frontend = MelFrontend(cfg.audio, dtype=jnp.float32)
+
+        def fwd(variables, x, emb_org, emb_trg):
+            _, x_identic, _, _ = self.model.apply(
+                variables, x, emb_org, emb_trg, train=False
+            )
+            return x_identic
+
+        self._fwd = jax.jit(fwd)
+
+    def valid_length(self, n: int) -> int:
+        """Largest L <= n with ((L - win)/hop + 1) divisible by freq
+        (the reference hardcodes 33536 = 128 frames; conversion_nina.py:74)."""
+        a, hop, win = self.cfg.audio, self.cfg.audio.hop_length, self.cfg.audio.win_length
+        frames = (n - win) // hop + 1
+        frames -= frames % self.cfg.model.freq
+        if frames <= 0:
+            raise ValueError(f"utterance too short for conversion: {n} samples")
+        return (frames - 1) * hop + win
+
+    def convert(self, spec: ConversionSpec) -> np.ndarray:
+        """-> converted waveform (L,), trimmed to the valid length."""
+        x = spec.src_features
+        if x.ndim == 1:
+            x = x[:, None]
+        L = self.valid_length(x.shape[0])
+        out = self._fwd(
+            self.variables,
+            jnp.asarray(x[None, :L]),
+            jnp.asarray(spec.src_embedding[None]),
+            jnp.asarray(spec.trg_embedding[None]),
+        )
+        return np.asarray(out[0, :, 0])
+
+    def convert_to_mel(self, spec: ConversionSpec) -> np.ndarray:
+        """Waveform out -> mel re-extraction for the vocoder."""
+        wav = self.convert(spec)
+        return np.asarray(self.frontend.mel_features(jnp.asarray(wav)))
+
+
+def all_pairs_specs(entries, feature_dir: str, utterance_index: int = 0):
+    """The original AutoVC N x N conversion matrix (conversion_temp.py:82-101):
+    every speaker's chosen utterance converted to every speaker.
+
+    entries: train-manifest SpeakerEntry list; returns ConversionSpecs with
+    ids 'src->trg'.
+    """
+    import os
+
+    specs = []
+    i = 0
+    for src in entries:
+        feats = np.load(os.path.join(feature_dir, src.utterances[utterance_index]))
+        name = os.path.basename(src.utterances[utterance_index])[: -len(".npy")]
+        for trg in entries:
+            specs.append(
+                ConversionSpec(
+                    conversion_id=i,
+                    src_name=name,
+                    src_embedding=src.embedding,
+                    src_features=feats,
+                    trg_speaker=trg.speaker_id,
+                    trg_embedding=trg.embedding,
+                )
+            )
+            i += 1
+    return specs

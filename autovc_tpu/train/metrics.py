@@ -50,6 +50,34 @@ class MetricsLogger:
             line += f", {k}: {float(metrics[k]):.4f}"
         print(line, flush=True)
 
+    def log_spectrogram_pair(self, step: int, original, reconstructed, tag="train"):
+        """Original-vs-reconstructed spectrogram figures every log_step
+        (reference solver_encoder.py:348-412; PNGs under <run>/figures plus
+        a wandb Image when mirroring)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import numpy as np
+
+        fig_dir = os.path.join(os.path.dirname(self.path), "figures")
+        os.makedirs(fig_dir, exist_ok=True)
+        fig, axs = plt.subplots(2, 1, sharex=True, figsize=(8, 6))
+        # same dB rescale the reference displays (x*100 - 100)
+        axs[0].imshow(np.asarray(original).T * 100 - 100, origin="lower", aspect="auto")
+        axs[0].set(title="Original spectrogram")
+        im = axs[1].imshow(
+            np.asarray(reconstructed).T * 100 - 100, origin="lower", aspect="auto"
+        )
+        axs[1].set(title="Converted spectrogram")
+        fig.colorbar(im, ax=axs)
+        out = os.path.join(fig_dir, f"{tag}_step{step}.png")
+        fig.savefig(out, dpi=80)
+        plt.close(fig)
+        if self._wandb is not None:
+            self._wandb.log({"Train spectrograms": self._wandb.Image(out)}, step=step)
+        return out
+
     def close(self):
         self._f.close()
         if self._wandb is not None:

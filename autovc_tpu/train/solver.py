@@ -107,6 +107,17 @@ class Solver:
             print(f"Continue from iteration: {int(state.step)}")
         return state
 
+    def _recon(self, x, emb):
+        """Eval-mode reconstruction for figure logging."""
+        if not hasattr(self, "_recon_fn"):
+            self._recon_fn = jax.jit(
+                lambda variables, x, emb: self.model.apply(
+                    variables, x, emb, emb, train=False
+                )[1]
+            )
+        variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+        return np.asarray(self._recon_fn(variables, x, emb))
+
     def _compile_step(self):
         raw = make_train_step(self.model, self.cfg, self.optimizer)
         bsh = batch_sharding(self.mesh)
@@ -147,6 +158,9 @@ class Solver:
                 self.history.append(dict(last_metrics, step=i))
                 self.metrics.log(i, last_metrics)
                 self.metrics.console(i, num_iters, last_metrics, keys=log_keys)
+                if cfg.train.log_spectrograms and cfg.model.model_type != "wav":
+                    recon = self._recon(x, emb)
+                    self.metrics.log_spectrogram_pair(i, x[0], recon[0])
             if i % cfg.train.checkpoint_step == 0:
                 self.save(i)
         self.ckptr.wait_until_finished()

@@ -1,0 +1,123 @@
+"""End-to-end conversion benchmark (driver contract: ONE JSON line on stdout).
+
+Measures the north-star metric (BASELINE.md): end-to-end p225 -> p228 voice
+conversion throughput per chip, as a real-time factor — seconds of audio
+produced per wall-clock second, steady-state (post-compile), batched.
+
+Pipeline timed: normalized mel features -> AutoVC Generator conversion ->
+HiFi-GAN waveform synthesis (the parallel vocoder path; WaveNet
+autoregressive samples/sec is reported separately on stderr).
+
+vs_baseline is the ratio against the 50x-realtime north-star target.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from autovc_tpu.config import Config
+    from autovc_tpu.data.manifest import load_train_manifest
+    from autovc_tpu.models import build_generator
+    from autovc_tpu.vocoder.hifigan import HiFiGANVocoder
+
+    cfg = Config()
+    log(f"devices: {jax.devices()}")
+
+    # --- inputs: real p225 features + GE2E embeddings from the bundled corpus
+    feats = np.load("/root/reference/spmel/p225/p225_003.npy")  # (376, 80)
+    entries = load_train_manifest("/root/reference/spmel/train.pkl")
+    emb = {e.speaker_id: e.embedding for e in entries}
+    emb_src, emb_trg = emb["p225"], emb["p228"]
+
+    T_real = feats.shape[0]
+    T_pad = 512  # bucket (multiple of freq=32)
+    B = 8
+    x = np.zeros((B, T_pad, 80), np.float32)
+    x[:, :T_real] = feats
+    e_src = np.tile(emb_src, (B, 1)).astype(np.float32)
+    e_trg = np.tile(emb_trg, (B, 1)).astype(np.float32)
+
+    # --- models (random init: identical compute cost to trained weights)
+    model = build_generator(cfg.model)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(x[:1]), jnp.asarray(e_src[:1]),
+        jnp.asarray(e_trg[:1]), train=False,
+    )
+    voc = HiFiGANVocoder(cfg.hifigan)
+
+    @jax.jit
+    def e2e(variables, voc_params, x, es, et):
+        _, mel_out, _ = model.apply(variables, x, es, et, train=False)
+        wav = voc.model.apply({"params": voc_params}, mel_out)
+        return wav
+
+    xj, esj, etj = jnp.asarray(x), jnp.asarray(e_src), jnp.asarray(e_trg)
+
+    log("compiling end-to-end program...")
+    t0 = time.time()
+    out = e2e(variables, voc.params, xj, esj, etj)
+    _ = np.asarray(out[:, :16])  # real D2H sync (block_until_ready can lie
+    # through the remote-device tunnel in this environment)
+    log(f"compile+first run: {time.time() - t0:.1f}s, out {out.shape}")
+
+    # --- steady-state timing, each iteration synced by a host fetch
+    n_iters = 10
+    t0 = time.time()
+    for _ in range(n_iters):
+        out = e2e(variables, voc.params, xj, esj, etj)
+        _ = np.asarray(out[:, :16])
+    wall = (time.time() - t0) / n_iters
+
+    audio_seconds = B * T_real * cfg.audio.hop_length / cfg.audio.sample_rate
+    rt_factor = audio_seconds / wall
+    log(
+        f"batch {B} x {T_real} frames ({audio_seconds:.1f}s audio) in "
+        f"{wall*1000:.1f}ms -> {rt_factor:.1f}x realtime"
+    )
+
+    # --- secondary: WaveNet autoregressive samples/sec (small probe)
+    try:
+        from autovc_tpu.vocoder.wavenet import WaveNetVocoder
+
+        wn = WaveNetVocoder(cfg.wavenet)
+        mel_small = jnp.asarray(x[:1, :16])  # 16 frames -> 4096 samples
+        t0 = time.time()
+        wav = wn.generate(mel_small[0])
+        np.asarray(wav)
+        compile_s = time.time() - t0
+        t0 = time.time()
+        wav = wn.generate(mel_small[0])
+        np.asarray(wav)
+        gen_s = time.time() - t0
+        sps = 4096 / gen_s
+        log(f"wavenet: compile {compile_s:.1f}s, {sps:.0f} samples/s (batch 1)")
+    except Exception as exc:  # pragma: no cover
+        log(f"wavenet probe skipped: {exc}")
+
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_conversion_realtime_factor",
+                "value": round(rt_factor, 2),
+                "unit": "x_realtime_per_chip",
+                "vs_baseline": round(rt_factor / 50.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -90,3 +90,42 @@ def test_griffinlim_vocoder_roundtrip(reference_dir):
     assert wav.shape[0] == (64 - 1) * 256
     assert np.isfinite(wav).all()
     assert np.abs(wav).max() > 1e-5  # produced actual signal
+
+
+def test_wav_converter_roundtrip(reference_dir):
+    """Wav-model conversion (conversion_nina.py parity): waveform in,
+    waveform out, mel re-extracted for the vocoder."""
+    from autovc_tpu.convert import WavConverter
+    from autovc_tpu.config import AudioConfig, wav_len_crop
+
+    cfg = Config(model=ModelConfig(model_type="wav", convtas_depth=1))
+    model = build_generator(cfg.model)
+    L = wav_len_crop(AudioConfig())
+    x0 = jnp.zeros((1, L, 1))
+    emb = jnp.zeros((1, 256))
+    variables = model.init(jax.random.PRNGKey(0), x0, emb, emb, train=False)
+    conv = WavConverter(model, variables["params"], variables.get("batch_stats", {}), cfg)
+
+    rng = np.random.RandomState(0)
+    feats = rng.randn(40000, 1).astype(np.float32)  # arbitrary length
+    e = rng.randn(256).astype(np.float32)
+    from autovc_tpu.data.manifest import ConversionSpec
+
+    spec = ConversionSpec(0, "x_1", e, feats, "y", e)
+    wav = conv.convert(spec)
+    assert wav.shape[0] == conv.valid_length(40000)
+    assert np.isfinite(wav).all()
+    mel = conv.convert_to_mel(spec)
+    assert mel.shape[1] == 80
+    assert np.isfinite(mel).all()
+
+
+def test_all_pairs_specs(reference_dir):
+    from autovc_tpu.convert import all_pairs_specs
+    from autovc_tpu.data.manifest import load_train_manifest
+
+    entries = load_train_manifest(reference_dir + "/spmel/train.pkl")
+    specs = all_pairs_specs(entries, reference_dir + "/spmel")
+    assert len(specs) == 49  # 7 x 7 conversion matrix (conversion_temp.py)
+    assert specs[0].src_name.startswith("p001")
+    assert {s.trg_speaker for s in specs[:7]} == {e.speaker_id for e in entries}

@@ -2,6 +2,7 @@
 training on the bundled corpus, checkpoint/resume, EMA, schedules, and
 multi-device data parallelism on the virtual CPU mesh."""
 
+import dataclasses
 import os
 
 import numpy as np
@@ -150,3 +151,28 @@ def test_loss_formula_matches_reference_composition(spmel_iter):
     )
     expect = m["g_loss_id"] + m["g_loss_id_psnt"] + 2.5 * m["g_loss_cd"]
     assert float(total) == pytest.approx(float(expect), rel=1e-6)
+
+
+def test_spectrogram_figure_logging(tmp_path, spmel_iter):
+    """Reference-style original/reconstructed figure dumps
+    (solver_encoder.py:348-412)."""
+    cfg = tiny_cfg(tmp_path)
+    cfg = Config(model=cfg.model, train=dataclasses.replace(cfg.train, log_spectrograms=True),
+                 main_dir=cfg.main_dir, run_name=cfg.run_name)
+    solver = Solver(cfg, spmel_iter(), run_dir=str(tmp_path / "figrun"))
+    solver.train(num_iters=2)
+    figs = list((tmp_path / "figrun" / "figures").glob("*.png"))
+    assert figs, "no spectrogram figures written"
+
+
+def test_step_timer_summary():
+    from autovc_tpu.train.profiler import StepTimer
+    import time as _t
+
+    st = StepTimer(skip_first=1)
+    for _ in range(5):
+        st.tick()
+        _t.sleep(0.01)
+    s = st.summary()
+    assert s["steps_per_sec"] > 0
+    assert s["step_ms_p50"] >= 5

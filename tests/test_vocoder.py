@@ -1,0 +1,175 @@
+"""Vocoder tests.
+
+The load-bearing one: the cached fast-generation scan must produce, at every
+step, EXACTLY the logits that the teacher-forced full-sequence forward
+produces on the generated waveform — this proves the circular dilation
+buffers implement the same causal dilated-conv stack.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from autovc_tpu.config import HiFiGANConfig, WaveNetConfig
+from autovc_tpu.vocoder.wavenet import (
+    WaveNetVocoder,
+    _generate_scan,
+    apply,
+    discretized_mol_loss,
+    flatten_params,
+    init_params,
+    sample_from_mol,
+    unflatten_params,
+    upsample_conditioning,
+)
+
+TINY = WaveNetConfig(
+    out_channels=12,  # 4 mixtures
+    layers=6,
+    stacks=2,
+    residual_channels=16,
+    gate_channels=16,
+    skip_channels=8,
+    cin_channels=80,
+    upsample_scales=(4, 4, 4, 4),
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    return init_params(TINY, jax.random.PRNGKey(0))
+
+
+def test_dilations():
+    assert TINY.dilations() == (1, 2, 4, 1, 2, 4)
+    full = WaveNetConfig()
+    assert full.dilations()[:6] == (1, 2, 4, 8, 16, 32)
+    assert len(full.dilations()) == 24
+
+
+def test_upsample_conditioning_shape(tiny_params):
+    c = jnp.asarray(np.random.RandomState(0).rand(2, 10, 80), jnp.float32)
+    up = upsample_conditioning(tiny_params, TINY, c)
+    assert up.shape == (2, 2560, 80)
+
+
+def test_teacher_forced_forward_shape(tiny_params):
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 512, 1)), jnp.float32)
+    c = jnp.asarray(rng.rand(2, 2, 80), jnp.float32)
+    logits = apply(tiny_params, TINY, x, c)
+    assert logits.shape == (2, 512, TINY.out_channels)
+
+
+def test_causality(tiny_params):
+    """Changing x[t0:] must not affect logits[:t0]."""
+    rng = np.random.RandomState(2)
+    x1 = rng.uniform(-1, 1, (1, 256, 1)).astype(np.float32)
+    x2 = x1.copy()
+    x2[:, 128:] = 0.5
+    c = jnp.asarray(rng.rand(1, 1, 80), jnp.float32)
+    l1 = apply(tiny_params, TINY, jnp.asarray(x1), c)
+    l2 = apply(tiny_params, TINY, jnp.asarray(x2), c)
+    np.testing.assert_allclose(np.asarray(l1[:, :128]), np.asarray(l2[:, :128]), atol=1e-5)
+    assert np.abs(np.asarray(l1[:, 129:]) - np.asarray(l2[:, 129:])).max() > 1e-4
+
+
+def test_fast_generation_matches_teacher_forced(tiny_params):
+    """Scan logits at step t == apply() logits on the generated sequence."""
+    rng = np.random.RandomState(3)
+    mel = jnp.asarray(rng.rand(1, 2, 80), jnp.float32)  # 512 samples
+    length = 2 * 256
+    cond = upsample_conditioning(tiny_params, TINY, mel)[:, :length]
+    wav, scan_logits = _generate_scan(
+        tiny_params, TINY, cond, jax.random.PRNGKey(7), length
+    )
+    tf_logits = apply(tiny_params, TINY, wav[..., None], mel)
+    np.testing.assert_allclose(
+        np.asarray(scan_logits), np.asarray(tf_logits), atol=2e-4
+    )
+
+
+def test_generate_interface_and_length(tiny_params):
+    voc = WaveNetVocoder(TINY, tiny_params)
+    mel = np.random.RandomState(4).rand(3, 80).astype(np.float32)
+    wav = voc.generate(mel)
+    assert wav.shape == (3 * 256,)  # Tc * hop (synthesis.py:52-55)
+    assert np.isfinite(np.asarray(wav)).all()
+    assert np.abs(np.asarray(wav)).max() <= 1.0
+
+
+def test_mol_sampling_statistics():
+    """With a single sharp mixture, samples concentrate at its mean."""
+    k = 4
+    logits = np.full((1000, 3 * k), -20.0, np.float32)
+    logits[:, 0] = 10.0  # mixture 0 dominates
+    logits[:, k] = 0.3  # mean
+    logits[:, 2 * k] = -7.0  # log scale (very sharp)
+    out = np.asarray(sample_from_mol(jnp.asarray(logits), jax.random.PRNGKey(0), -32.0))
+    assert abs(out.mean() - 0.3) < 0.01
+    assert out.std() < 0.02
+
+
+def test_mol_loss_decreases_for_better_fit():
+    rng = np.random.RandomState(5)
+    target = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 100)), jnp.float32)
+    k = 10
+    good = np.zeros((2, 100, 3 * k), np.float32)
+    good[..., k] = np.asarray(target)  # mixture 0 mean == target
+    good[..., 2 * k] = -7.0
+    good[..., 0] = 5.0
+    bad = np.zeros((2, 100, 3 * k), np.float32)
+    l_good = float(discretized_mol_loss(jnp.asarray(good), target))
+    l_bad = float(discretized_mol_loss(jnp.asarray(bad), target))
+    assert l_good < l_bad
+
+
+def test_mol_loss_matches_nll_gradient_training(tiny_params):
+    """One gradient step on the MoL loss reduces it (the vocoder is
+    trainable — a capability the reference outsourced to the external pkg)."""
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 256, 1)), jnp.float32)
+    c = jnp.asarray(rng.rand(1, 1, 80), jnp.float32)
+
+    def loss(p):
+        return discretized_mol_loss(apply(p, TINY, x, c), x[..., 0])
+
+    l0, g = jax.value_and_grad(loss)(tiny_params)
+    p1 = jax.tree_util.tree_map(lambda p, gg: p - 1e-3 * gg, tiny_params, g)
+    l1 = loss(p1)
+    assert float(l1) < float(l0)
+
+
+def test_params_flatten_roundtrip(tiny_params):
+    flat = flatten_params(tiny_params)
+    rt = unflatten_params(flat)
+    for (p1, l1), (p2, l2) in zip(
+        jax.tree_util.tree_flatten_with_path(tiny_params)[0],
+        jax.tree_util.tree_flatten_with_path(rt)[0],
+    ):
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_hifigan_shapes_and_determinism():
+    from autovc_tpu.vocoder.hifigan import HiFiGANVocoder
+
+    cfg = HiFiGANConfig(upsample_initial_channel=64)
+    voc = HiFiGANVocoder(cfg)
+    mel = np.random.RandomState(7).rand(5, 80).astype(np.float32)
+    w1 = np.asarray(voc.generate(mel))
+    w2 = np.asarray(voc.generate(mel))
+    assert w1.shape == (5 * 256,)
+    np.testing.assert_array_equal(w1, w2)
+    assert np.abs(w1).max() <= 1.0
+
+
+def test_hifigan_batched():
+    from autovc_tpu.vocoder.hifigan import HiFiGANVocoder
+
+    cfg = HiFiGANConfig(upsample_initial_channel=64)
+    voc = HiFiGANVocoder(cfg)
+    mel = np.random.RandomState(8).rand(2, 4, 80).astype(np.float32)
+    wav = np.asarray(voc.generate(mel))
+    assert wav.shape == (2, 4 * 256)
