@@ -27,17 +27,46 @@ from autovc_tpu.data.manifest import SpeakerEntry, load_train_manifest
 
 
 class UtteranceDataset:
-    def __init__(self, root_dir: str, manifest: str | list[SpeakerEntry] = "train.pkl"):
+    def __init__(
+        self,
+        root_dir: str,
+        manifest: str | list[SpeakerEntry] = "train.pkl",
+        use_native: bool | None = None,
+    ):
         if isinstance(manifest, str):
             manifest = load_train_manifest(os.path.join(root_dir, manifest))
         self.entries = manifest
         self.root_dir = root_dir
 
-        def _load(entry: SpeakerEntry):
-            return [np.load(os.path.join(root_dir, p)) for p in entry.utterances]
+        if use_native is None:
+            from autovc_tpu.runtime import native_available
 
-        with ThreadPoolExecutor(max_workers=min(16, max(1, len(manifest)))) as pool:
-            self.features = list(pool.map(_load, manifest))
+            use_native = native_available()
+
+        if use_native:
+            # C++ threaded load; features become zero-copy views into the store
+            from autovc_tpu.runtime import FeatureStore
+
+            self._store = FeatureStore()
+            all_paths = [
+                os.path.join(root_dir, p) for e in manifest for p in e.utterances
+            ]
+            ids = self._store.load_npy_batch(all_paths)
+            assert (ids >= 0).all(), "native .npy load failed"
+            self.features = []
+            k = 0
+            for e in manifest:
+                self.features.append(
+                    [self._store.view(int(ids[k + j])) for j in range(len(e.utterances))]
+                )
+                k += len(e.utterances)
+        else:
+
+            def _load(entry: SpeakerEntry):
+                return [np.load(os.path.join(root_dir, p)) for p in entry.utterances]
+
+            with ThreadPoolExecutor(max_workers=min(16, max(1, len(manifest)))) as pool:
+                self.features = list(pool.map(_load, manifest))
 
     @property
     def num_speakers(self) -> int:

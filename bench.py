@@ -88,24 +88,27 @@ def main():
         f"{wall*1000:.1f}ms -> {rt_factor:.1f}x realtime"
     )
 
-    # --- secondary: WaveNet autoregressive samples/sec (small probe)
-    try:
-        from autovc_tpu.vocoder.wavenet import WaveNetVocoder
+    # --- secondary: WaveNet autoregressive samples/sec. Opt-in: the 24-layer
+    # scan body is a long AOT compile on tunneled-TPU environments and must
+    # not jeopardize the headline bench (run BENCH_WAVENET=1 python bench.py).
+    import os
 
-        wn = WaveNetVocoder(cfg.wavenet)
-        mel_small = jnp.asarray(x[:1, :16])  # 16 frames -> 4096 samples
-        t0 = time.time()
-        wav = wn.generate(mel_small[0])
-        np.asarray(wav)
-        compile_s = time.time() - t0
-        t0 = time.time()
-        wav = wn.generate(mel_small[0])
-        np.asarray(wav)
-        gen_s = time.time() - t0
-        sps = 4096 / gen_s
-        log(f"wavenet: compile {compile_s:.1f}s, {sps:.0f} samples/s (batch 1)")
-    except Exception as exc:  # pragma: no cover
-        log(f"wavenet probe skipped: {exc}")
+    if os.environ.get("BENCH_WAVENET"):
+        try:
+            from autovc_tpu.vocoder.wavenet import WaveNetVocoder
+
+            wn = WaveNetVocoder(cfg.wavenet)
+            mel_small = jnp.asarray(x[:1, :16])  # 16 frames -> 4096 samples
+            t0 = time.time()
+            np.asarray(wn.generate(mel_small[0]))
+            compile_s = time.time() - t0
+            t0 = time.time()
+            np.asarray(wn.generate(mel_small[0]))
+            gen_s = time.time() - t0
+            sps = 4096 / gen_s
+            log(f"wavenet: compile {compile_s:.1f}s, {sps:.0f} samples/s (batch 1)")
+        except Exception as exc:  # pragma: no cover
+            log(f"wavenet probe skipped: {exc}")
 
     print(
         json.dumps(
