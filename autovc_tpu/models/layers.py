@@ -150,6 +150,9 @@ class LSTM(nn.Module):
     num_layers: int = 1
     bidirectional: bool = False
     dtype: Any = None
+    # Pallas fused sequence kernel (ops.pallas_lstm): weights pinned in VMEM
+    # across the time loop. Opt-in; numerically identical to the scan path.
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -173,11 +176,21 @@ class LSTM(nn.Module):
                 xproj = h.astype(compute_dtype) @ w_ih.astype(compute_dtype) + b.astype(
                     compute_dtype
                 )
-                h0 = jnp.zeros((B, self.hidden), compute_dtype)
-                c0 = jnp.zeros((B, self.hidden), compute_dtype)
-                outs.append(
-                    _lstm_scan(xproj, w_hh.astype(compute_dtype), h0, c0, reverse=(d == "bwd"))
-                )
+                if self.use_pallas:
+                    from autovc_tpu.ops.pallas_lstm import lstm_sequence
+
+                    pad_b = (-B) % 8  # sublane tile
+                    xp = jnp.pad(xproj, ((0, pad_b), (0, 0), (0, 0))) if pad_b else xproj
+                    seq = lstm_sequence(xp, w_hh.astype(compute_dtype), reverse=(d == "bwd"))
+                    outs.append(seq[:B])
+                else:
+                    h0 = jnp.zeros((B, self.hidden), compute_dtype)
+                    c0 = jnp.zeros((B, self.hidden), compute_dtype)
+                    outs.append(
+                        _lstm_scan(
+                            xproj, w_hh.astype(compute_dtype), h0, c0, reverse=(d == "bwd")
+                        )
+                    )
             h = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
         return h
 
