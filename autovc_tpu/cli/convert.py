@@ -51,6 +51,12 @@ def main(argv=None):
         action="store_true",
         help="N x N conversion matrix over all speakers (conversion_temp.py mode)",
     )
+    ap.add_argument(
+        "--raw",
+        action="store_true",
+        help="save raw model-domain outputs (e.g. 513-bin STFT for the stft "
+        "variant, for direct Griffin-Lim) instead of mel projections",
+    )
     args = ap.parse_args(argv)
     apply_platform(args)
 
@@ -82,7 +88,13 @@ def main(argv=None):
     out_path = args.out or os.path.join(
         args.main_dir, args.model_type, f"results_step{step}.pkl"
     )
-    results = run_conversions(converter, specs, out_path)
+    if args.raw:
+        from autovc_tpu.data.manifest import save_results
+
+        results = [(str(s.conversion_id), converter.convert(s)) for s in specs]
+        save_results(out_path, results)
+    else:
+        results = run_conversions(converter, specs, out_path)
 
     if args.pdf:
         import matplotlib

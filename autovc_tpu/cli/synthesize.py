@@ -40,9 +40,14 @@ def main(argv=None):
     results = load_results(args.results)
 
     if args.vocoder == "griffinlim":
-        from autovc_tpu.vocoder.griffinlim import mel_to_waveform
+        from autovc_tpu.vocoder.griffinlim import mel_to_waveform, stft_to_waveform
 
-        synth = lambda mel: mel_to_waveform(mel, cfg.audio, n_iter=args.gl_iters)
+        def synth(feat):
+            # 513-bin results (raw stft-variant output) take the direct
+            # Griffin-Lim path (vocoder_stft.ipynb); 80-bin go via mel pinv
+            if feat.shape[-1] == cfg.audio.n_stft_bins:
+                return stft_to_waveform(feat, cfg.audio, n_iter=args.gl_iters)
+            return mel_to_waveform(feat, cfg.audio, n_iter=args.gl_iters)
     elif args.vocoder == "wavenet":
         from autovc_tpu.vocoder.wavenet import WaveNetVocoder
 

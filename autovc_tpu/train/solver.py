@@ -51,6 +51,10 @@ class Solver:
         self.mesh = mesh or make_mesh(
             data=cfg.train.data_parallel, model=cfg.train.model_parallel
         )
+        if jax.default_backend() == "cpu":
+            # the reference fires a wandb alert on CPU fallback
+            # (solver_encoder.py:106-109); we warn loudly
+            print("WARNING: training on CPU — no accelerator detected", flush=True)
         self.model = build_generator(cfg.model)
         self.optimizer = make_optimizer(cfg)
         self.metrics = MetricsLogger(self.run_dir, cfg.run_name, use_wandb, cfg)

@@ -43,3 +43,16 @@ def mel_to_waveform(
     """Normalized mel (T, n_mels) -> waveform via Griffin-Lim."""
     lin = mel_to_linear(jnp.asarray(mel), audio)
     return griffin_lim(lin, audio.n_fft, audio.hop_length, n_iter=n_iter, key=key)
+
+
+def stft_to_waveform(
+    stft_norm: jax.Array,
+    audio: AudioConfig = AudioConfig(),
+    n_iter: int = 60,
+    key: jax.Array | None = None,
+) -> jax.Array:
+    """Normalized |STFT| (T, n_fft//2+1) -> waveform — the stft-variant's
+    direct Griffin-Lim path (reference vocoder_stft.ipynb cell 0 ran
+    librosa.griffinlim on the converted STFT magnitudes)."""
+    mag = denormalize_db(jnp.asarray(stft_norm), audio.ref_level_db, audio.min_level_db)
+    return griffin_lim(mag, audio.n_fft, audio.hop_length, n_iter=n_iter, key=key)
