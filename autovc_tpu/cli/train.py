@@ -50,9 +50,21 @@ def main(argv=None):
     # parallelism (new capability; SURVEY §2.2)
     ap.add_argument("--data_parallel", type=int, default=1)
     ap.add_argument("--model_parallel", type=int, default=1)
+    ap.add_argument(
+        "--multihost",
+        action="store_true",
+        help="initialize jax.distributed (TPU pod slices); each host feeds its "
+        "shard of the global batch",
+    )
+    ap.add_argument("--bf16", action="store_true", help="bfloat16 compute (MXU-native)")
     ap.add_argument("--wandb", action="store_true")
     args = ap.parse_args(argv)
     apply_platform(args)
+
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()  # coordinator/topology from TPU metadata
 
     run_name = args.run_name
     if not args.resume:
@@ -67,6 +79,7 @@ def main(argv=None):
             dim_pre=args.dim_pre,
             freq=args.freq,
             convtas_depth=args.depth,
+            compute_dtype="bfloat16" if args.bf16 else "float32",
         ),
         train=TrainConfig(
             lambda_cd=args.lambda_cd,
@@ -100,7 +113,19 @@ def main(argv=None):
         mm(["--main_dir", args.main_dir, "--model_type", args.model_type])
 
     ds = UtteranceDataset(feature_dir)
-    it = BatchIterator(ds, cfg.train.batch_size, cfg.train.len_crop, seed=cfg.train.seed)
+    if args.multihost:
+        import jax
+
+        it = BatchIterator(
+            ds,
+            cfg.train.batch_size,
+            cfg.train.len_crop,
+            seed=cfg.train.seed,
+            host_index=jax.process_index(),
+            host_count=jax.process_count(),
+        )
+    else:
+        it = BatchIterator(ds, cfg.train.batch_size, cfg.train.len_crop, seed=cfg.train.seed)
 
     from autovc_tpu.train import Solver  # deferred: jax init after data checks
 

@@ -14,10 +14,14 @@ EPS = 1e-8
 
 
 def mse(a, b):
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
     return jnp.mean((a - b) ** 2)
 
 
 def l1(a, b):
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
     return jnp.mean(jnp.abs(a - b))
 
 

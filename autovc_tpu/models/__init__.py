@@ -14,7 +14,14 @@ from autovc_tpu.models.dvector import DVector
 
 
 def build_generator(model_cfg):
-    """Variant selection by model_type (reference solver_encoder.py:118-126)."""
+    """Variant selection by model_type (reference solver_encoder.py:118-126).
+
+    compute_dtype='bfloat16' runs matmul/conv compute in bf16 (params stay
+    float32) — the MXU-native precision; losses upcast to float32.
+    """
+    import jax.numpy as jnp
+
+    dtype = {"float32": None, "bfloat16": jnp.bfloat16}[model_cfg.compute_dtype]
     if model_cfg.model_type in ("spmel", "stft"):
         return Generator(
             dim_neck=model_cfg.dim_neck,
@@ -22,6 +29,7 @@ def build_generator(model_cfg):
             dim_pre=model_cfg.dim_pre,
             freq=model_cfg.freq,
             n_bins=model_cfg.n_bins,
+            dtype=dtype,
         )
     if model_cfg.model_type == "wav":
         return GeneratorWav(
@@ -31,6 +39,7 @@ def build_generator(model_cfg):
             freq=model_cfg.freq,
             depth=model_cfg.convtas_depth,
             channels=model_cfg.convtas_channels,
+            dtype=dtype,
         )
     raise ValueError(f"unknown model_type {model_cfg.model_type!r}")
 

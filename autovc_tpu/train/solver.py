@@ -134,11 +134,19 @@ class Solver:
 
     # ----------------------------------------------------------------- train
 
-    def train(self, num_iters: int | None = None):
+    def train(self, num_iters: int | None = None, prefetch: int = 2):
         cfg = self.cfg
         num_iters = num_iters if num_iters is not None else cfg.train.num_iters
         lr_scale = jnp.asarray(1.0, jnp.float32)
         bsh = batch_sharding(self.mesh)
+
+        data_iter = self.data_iter
+        prefetcher = None
+        if prefetch:
+            from autovc_tpu.data.prefetch import DevicePrefetcher
+
+            prefetcher = DevicePrefetcher(self.data_iter, bsh, depth=prefetch)
+            data_iter = prefetcher
         log_keys = ["g_loss_id", "g_loss_id_psnt", "g_loss_cd"] if cfg.model.model_type != "wav" else [
             "g_loss_id", "g_loss_gen", "g_loss_cd", "g_loss_sisnr"
         ]
@@ -148,9 +156,10 @@ class Solver:
         last_metrics = {}
         self.history: list[dict] = []
         while i < num_iters:
-            x, emb = next(self.data_iter)
-            x = jax.device_put(jnp.asarray(x), bsh)
-            emb = jax.device_put(jnp.asarray(emb), bsh)
+            x, emb = next(data_iter)
+            if prefetcher is None:  # prefetcher already device_put with bsh
+                x = jax.device_put(jnp.asarray(x), bsh)
+                emb = jax.device_put(jnp.asarray(emb), bsh)
             self.state, m = self._step_fn(self.state, x, emb, lr_scale)
             i += 1
 
@@ -167,6 +176,8 @@ class Solver:
                     self.metrics.log_spectrogram_pair(i, x[0], recon[0])
             if i % cfg.train.checkpoint_step == 0:
                 self.save(i)
+        if prefetcher is not None:
+            prefetcher.close()
         self.ckptr.wait_until_finished()
         return last_metrics
 

@@ -83,3 +83,30 @@ def test_sp_blstm_matches_layers_lstm(seq_mesh):
 
     out = sp_blstm(x, variables["params"], seq_mesh, num_layers=2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_sp_generator_matches_dense(seq_mesh):
+    """Full sequence-parallel Generator forward == the dense Generator in
+    eval mode, on a 4-device time-sharded mesh."""
+    from autovc_tpu.config import ModelConfig
+    from autovc_tpu.convert.sequence_parallel import SPGenerator
+    from autovc_tpu.models import build_generator
+
+    cfg = ModelConfig(model_type="spmel")
+    model = build_generator(cfg)
+    rng = np.random.RandomState(3)
+    t = 4 * 2 * 32  # 4 chunks x 2 freq-blocks
+    x = jnp.asarray(rng.rand(1, t, 80), jnp.float32)
+    c_org = jnp.asarray(rng.randn(1, 256), jnp.float32)
+    c_trg = jnp.asarray(rng.randn(1, 256), jnp.float32)
+
+    variables = model.init(jax.random.PRNGKey(0), x, c_org, c_trg, train=False)
+    ref_id, ref_psnt, ref_codes = model.apply(variables, x, c_org, c_trg, train=False)
+
+    sp = SPGenerator(
+        variables["params"], variables.get("batch_stats", {}), cfg, seq_mesh
+    )
+    out_id, out_psnt, out_codes = sp(x, c_org, c_trg)
+    np.testing.assert_allclose(np.asarray(out_codes), np.asarray(ref_codes), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_id), np.asarray(ref_id), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_psnt), np.asarray(ref_psnt), atol=2e-3)

@@ -176,3 +176,34 @@ def test_step_timer_summary():
     s = st.summary()
     assert s["steps_per_sec"] > 0
     assert s["step_ms_p50"] >= 5
+
+
+def test_bf16_compute_path_trains(tmp_path, spmel_iter):
+    """bfloat16 compute (params f32) runs and produces finite f32 losses."""
+    cfg = Config(
+        model=ModelConfig(model_type="spmel", compute_dtype="bfloat16"),
+        train=TrainConfig(batch_size=2, len_crop=LEN_CROP, log_step=1,
+                          checkpoint_step=10_000),
+        main_dir=str(tmp_path), run_name="bf16",
+    )
+    solver = Solver(cfg, spmel_iter(), run_dir=str(tmp_path / "bf16"))
+    solver.train(num_iters=2)
+    assert np.isfinite(solver.history[-1]["g_loss"])
+    # params stayed float32
+    leaf = jax.tree_util.tree_leaves(solver.state.params)[0]
+    assert leaf.dtype == jnp.float32
+
+
+def test_prefetcher_preserves_stream(tmp_path, spmel_iter):
+    from autovc_tpu.data.prefetch import DevicePrefetcher
+    from autovc_tpu.parallel import make_mesh, batch_sharding
+
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    it_a, it_b = spmel_iter(seed=5), spmel_iter(seed=5)
+    pf = DevicePrefetcher(it_a, batch_sharding(mesh))
+    for _ in range(4):
+        xa, ea = next(pf)
+        xb, eb = next(it_b)
+        np.testing.assert_array_equal(np.asarray(xa), xb)
+        np.testing.assert_array_equal(np.asarray(ea), eb)
+    pf.close()
