@@ -19,3 +19,6 @@ def apply_platform(args) -> None:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    from autovc_tpu.compile_cache import enable
+
+    enable()

@@ -1,0 +1,105 @@
+"""Vocoder training CLI (capability the reference outsourced to the external
+wavenet_vocoder package; its training hyperparameters live in hparams.py).
+
+Trains WaveNet (MoL NLL, noam schedule, EMA) or HiFi-GAN (reconstruction
+pretraining) on a corpus of wavs + spmel features, saving .npz checkpoints
+consumable by `synthesize --vocoder_ckpt`.
+
+Usage: python -m autovc_tpu.cli.train_vocoder --main_dir DIR --vocoder wavenet
+           [--num_iters N] [--batch_size B] [--out ckpt.npz]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def load_corpus(main_dir: str, audio_sr: int = 16000):
+    """All (waveform, mel) pairs from <main_dir>/{wavs,spmel}."""
+    from autovc_tpu.dsp import read_wav
+
+    wav_root = None
+    for cand in ("wav48_silence_trimmed", "wavs", "wav"):
+        p = os.path.join(main_dir, cand)
+        if os.path.isdir(p):
+            wav_root = p
+            break
+    assert wav_root, f"no wav dir under {main_dir}"
+    mel_root = os.path.join(main_dir, "spmel")
+
+    wavs, mels = [], []
+    for spk in sorted(os.listdir(mel_root)):
+        spk_mel = os.path.join(mel_root, spk)
+        if not os.path.isdir(spk_mel):
+            continue
+        for f in sorted(os.listdir(spk_mel)):
+            if not f.endswith(".npy"):
+                continue
+            wav_path = os.path.join(wav_root, spk, f[:-4] + ".wav")
+            if not os.path.exists(wav_path):
+                continue
+            x, _ = read_wav(wav_path, audio_sr)
+            wavs.append(x)
+            mels.append(np.load(os.path.join(spk_mel, f)))
+    assert wavs, "no (wav, mel) pairs found — run make_spect first"
+    return wavs, mels
+
+
+def main(argv=None):
+    from autovc_tpu.cli._common import add_platform_arg, apply_platform
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    add_platform_arg(ap)
+    ap.add_argument("--main_dir", required=True)
+    ap.add_argument("--vocoder", default="wavenet", choices=["wavenet", "hifigan"])
+    ap.add_argument("--num_iters", type=int, default=200_000)
+    ap.add_argument("--batch_size", type=int, default=2)
+    ap.add_argument("--max_time", type=int, default=8000, help="wavenet crop samples (hparams.py:150)")
+    ap.add_argument("--frames", type=int, default=32, help="hifigan crop frames")
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--log_step", type=int, default=50)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+    apply_platform(args)
+
+    from autovc_tpu.config import Config
+
+    cfg = Config()
+    wavs, mels = load_corpus(args.main_dir, cfg.audio.sample_rate)
+    print(f"[train_vocoder] corpus: {len(wavs)} utterances")
+    rng = np.random.default_rng(args.seed)
+    out = args.out or os.path.join(args.main_dir, f"{args.vocoder}_vocoder.npz")
+
+    if args.vocoder == "wavenet":
+        from autovc_tpu.vocoder.train_wavenet import WaveNetTrainer, crop_batch
+
+        trainer = WaveNetTrainer(cfg.wavenet, lr=args.lr or 1e-3, seed=args.seed)
+
+        def batches():
+            while True:
+                yield crop_batch(
+                    wavs, mels, args.batch_size, args.max_time, cfg.audio.hop_length, rng
+                )
+
+    else:
+        from autovc_tpu.vocoder.train_hifigan import HiFiGANTrainer, hifigan_crop_batch
+
+        trainer = HiFiGANTrainer(cfg.hifigan, cfg.audio, lr=args.lr or 2e-4, seed=args.seed)
+
+        def batches():
+            while True:
+                yield hifigan_crop_batch(
+                    wavs, mels, args.batch_size, args.frames, cfg.audio.hop_length, rng
+                )
+
+    trainer.train(batches(), args.num_iters, log_step=args.log_step)
+    trainer.save(out)
+    print(f"[train_vocoder] saved {out}")
+
+
+if __name__ == "__main__":
+    main()

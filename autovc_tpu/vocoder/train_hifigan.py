@@ -1,0 +1,119 @@
+"""HiFi-GAN generator pretraining (reconstruction losses).
+
+Trains the parallel vocoder on (mel, waveform) pairs with the standard
+non-adversarial objectives — L1 log-mel reconstruction plus multi-resolution
+STFT (spectral-convergence + log-magnitude) — which gets a usable vocoder
+without discriminators; adversarial fine-tuning can be layered on later.
+Everything is differentiable jnp (our own STFT/mel ops), one jitted donated
+step.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from autovc_tpu.config import AudioConfig, HiFiGANConfig
+from autovc_tpu.dsp.mel import mel_filterbank
+from autovc_tpu.dsp.stft import stft_magnitude
+from autovc_tpu.vocoder.hifigan import HiFiGANGenerator
+from autovc_tpu.vocoder.wavenet import flatten_params
+
+_RESOLUTIONS = ((512, 128), (1024, 256), (2048, 512))
+
+
+def multi_resolution_stft_loss(y_hat: jax.Array, y: jax.Array) -> jax.Array:
+    """Sum over resolutions of spectral convergence + log-STFT-magnitude L1."""
+    total = 0.0
+    for n_fft, hop in _RESOLUTIONS:
+        m_hat = stft_magnitude(y_hat, n_fft, hop)
+        m = stft_magnitude(y, n_fft, hop)
+        sc = jnp.linalg.norm(m - m_hat) / (jnp.linalg.norm(m) + 1e-6)
+        mag = jnp.mean(jnp.abs(jnp.log(m + 1e-5) - jnp.log(m_hat + 1e-5)))
+        total = total + sc + mag
+    return total / len(_RESOLUTIONS)
+
+
+def log_mel_l1(y_hat: jax.Array, y: jax.Array, basis: jax.Array, audio: AudioConfig):
+    mh = stft_magnitude(y_hat, audio.n_fft, audio.hop_length) @ basis
+    m = stft_magnitude(y, audio.n_fft, audio.hop_length) @ basis
+    return jnp.mean(jnp.abs(jnp.log(mh + 1e-5) - jnp.log(m + 1e-5)))
+
+
+class HiFiGANTrainer:
+    def __init__(
+        self,
+        cfg: HiFiGANConfig,
+        audio: AudioConfig = AudioConfig(),
+        lr: float = 2e-4,
+        mel_weight: float = 45.0 / 45.0,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.audio = audio
+        self.model = HiFiGANGenerator(cfg)
+        mel0 = jnp.zeros((1, 16, cfg.in_channels), jnp.float32)
+        self.params = self.model.init(jax.random.PRNGKey(seed), mel0)["params"]
+        self.optimizer = optax.adamw(lr, b1=0.8, b2=0.99, weight_decay=0.0)
+        self.opt_state = self.optimizer.init(self.params)
+        self.history: list[float] = []
+        basis = jnp.asarray(
+            mel_filterbank(audio.sample_rate, audio.n_fft, audio.n_mels,
+                           audio.mel_fmin, audio.mel_fmax)
+        )
+
+        def step_fn(params, opt_state, mel, y):
+            def loss_fn(p):
+                y_hat = self.model.apply({"params": p}, mel)
+                return (
+                    mel_weight * log_mel_l1(y_hat, y, basis, audio)
+                    + multi_resolution_stft_loss(y_hat, y)
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._step = jax.jit(step_fn, donate_argnums=(0, 1))
+
+    def train(self, batches: Iterator, num_iters: int, log_step: int = 50):
+        t0 = time.time()
+        loss = float("nan")
+        for i in range(1, num_iters + 1):
+            mel, y = next(batches)
+            self.params, self.opt_state, loss_j = self._step(
+                self.params, self.opt_state, jnp.asarray(mel), jnp.asarray(y)
+            )
+            if i % log_step == 0 or i == num_iters:
+                loss = float(loss_j)
+                self.history.append(loss)
+                print(
+                    f"[hifigan] iter {i}/{num_iters} loss {loss:.4f} "
+                    f"({(time.time() - t0) / i:.2f}s/it)",
+                    flush=True,
+                )
+        return loss
+
+    def save(self, path: str):
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        np.savez(path, **flatten_params(self.params))
+
+
+def hifigan_crop_batch(wavs, mels, batch_size, frames, hop, rng):
+    """(mel (B, frames, 80), wav (B, frames*hop)) aligned random crops."""
+    ms, ys = [], []
+    for _ in range(batch_size):
+        i = int(rng.integers(0, len(wavs)))
+        w, m = wavs[i], mels[i]
+        max_f = min(m.shape[0], w.shape[0] // hop) - frames
+        f0 = int(rng.integers(0, max(1, max_f)))
+        ms.append(m[f0 : f0 + frames])
+        ys.append(w[f0 * hop : (f0 + frames) * hop])
+    return np.stack(ms).astype(np.float32), np.stack(ys).astype(np.float32)

@@ -1,0 +1,125 @@
+"""WaveNet vocoder training.
+
+The reference ships only synthesis (synthesis.py) with a pretrained r9y9
+checkpoint; the training hyperparameters it carries (hparams.py:134-154:
+Adam 1e-3, noam decay, 8000-sample crops, EMA 0.9999) describe the external
+pipeline. This module makes vocoder training a first-class framework
+capability: teacher-forced MoL NLL over (waveform, mel) crops, jitted and
+donated, with real EMA and .npz checkpoints loadable by
+WaveNetVocoder.from_checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from autovc_tpu.config import WaveNetConfig
+from autovc_tpu.vocoder.wavenet import (
+    apply,
+    discretized_mol_loss,
+    flatten_params,
+    init_params,
+)
+
+
+def noam_schedule(warmup: int = 4000):
+    """lr scale = min(step^-0.5, step * warmup^-1.5) * warmup^0.5
+    (the reference's lr_schedule="noam_learning_rate_decay", hparams.py:142)."""
+
+    def fn(step):
+        s = jnp.maximum(step, 1).astype(jnp.float32)
+        return jnp.minimum(s**-0.5, s * warmup**-1.5) * warmup**0.5
+
+    return fn
+
+
+def crop_batch(
+    wavs: list[np.ndarray],
+    mels: list[np.ndarray],
+    batch_size: int,
+    max_time: int,
+    hop: int,
+    rng: np.random.Generator,
+):
+    """Random hop-aligned (waveform, mel) crops (hparams.py:150 semantics)."""
+    xs, cs = [], []
+    frames = max_time // hop
+    for _ in range(batch_size):
+        i = int(rng.integers(0, len(wavs)))
+        w, m = wavs[i], mels[i]
+        max_f = min(m.shape[0], w.shape[0] // hop) - frames
+        f0 = int(rng.integers(0, max(1, max_f)))
+        xs.append(w[f0 * hop : f0 * hop + max_time])
+        cs.append(m[f0 : f0 + frames])
+    return (
+        np.stack(xs).astype(np.float32)[..., None],
+        np.stack(cs).astype(np.float32),
+    )
+
+
+class WaveNetTrainer:
+    def __init__(
+        self,
+        cfg: WaveNetConfig,
+        lr: float = 1e-3,
+        warmup: int = 4000,
+        ema_decay: float = 0.9999,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.params = init_params(cfg, jax.random.PRNGKey(seed))
+        self.ema = jax.tree_util.tree_map(jnp.copy, self.params)
+        schedule = noam_schedule(warmup)
+        self.optimizer = optax.adam(
+            learning_rate=lambda step: lr * schedule(step), b1=0.9, b2=0.999, eps=1e-8
+        )
+        self.opt_state = self.optimizer.init(self.params)
+        self.ema_decay = ema_decay
+        self.history: list[float] = []
+
+        def step_fn(params, opt_state, ema, x, c):
+            def loss_fn(p):
+                logits = apply(p, cfg, x, c)
+                return discretized_mol_loss(
+                    logits, x[..., 0], log_scale_min=cfg.log_scale_min
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            ema = jax.tree_util.tree_map(
+                lambda e, p: ema_decay * e + (1 - ema_decay) * p, ema, params
+            )
+            return params, opt_state, ema, loss
+
+        self._step = jax.jit(step_fn, donate_argnums=(0, 1, 2))
+
+    def train(self, batches: Iterator, num_iters: int, log_step: int = 50):
+        t0 = time.time()
+        loss = float("nan")
+        for i in range(1, num_iters + 1):
+            x, c = next(batches)
+            self.params, self.opt_state, self.ema, loss_j = self._step(
+                self.params, self.opt_state, self.ema, jnp.asarray(x), jnp.asarray(c)
+            )
+            if i % log_step == 0 or i == num_iters:
+                loss = float(loss_j)
+                self.history.append(loss)
+                print(
+                    f"[wavenet] iter {i}/{num_iters} nll {loss:.4f} "
+                    f"({(time.time() - t0) / i:.2f}s/it)",
+                    flush=True,
+                )
+        return loss
+
+    def save(self, path: str, use_ema: bool = True):
+        """Write an .npz loadable by WaveNetVocoder.from_checkpoint."""
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        np.savez(path, **flatten_params(self.ema if use_ema else self.params))

@@ -26,6 +26,10 @@ def log(*a):
 
 def main():
     import jax
+
+    from autovc_tpu.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     import jax.numpy as jnp
 
     from autovc_tpu.config import Config
