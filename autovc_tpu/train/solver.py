@@ -151,17 +151,54 @@ class Solver:
             "g_loss_id", "g_loss_gen", "g_loss_cd", "g_loss_sisnr"
         ]
 
+        # failure handling (SURVEY §5.3): save a checkpoint on SIGTERM/SIGINT
+        # (preemption-safe), retry transient data errors, halt on non-finite
+        # loss with an emergency checkpoint instead of training into NaNs.
+        import signal
+
+        stop_requested = {"flag": False}
+
+        def _on_term(signum, frame):
+            stop_requested["flag"] = True
+
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _on_term)
+            except ValueError:  # not the main thread
+                pass
+
         print("Starting training...", flush=True)
         i = int(self.state.step)
         last_metrics = {}
         self.history: list[dict] = []
+        data_failures = 0
         while i < num_iters:
-            x, emb = next(data_iter)
+            if stop_requested["flag"]:
+                print(f"[solver] termination requested at step {i}; checkpointing")
+                self.save(i)
+                break
+            try:
+                x, emb = next(data_iter)
+                data_failures = 0
+            except StopIteration:
+                raise
+            except Exception as exc:  # transient data error: retry, bounded
+                data_failures += 1
+                if data_failures > 3:
+                    raise
+                print(f"[solver] data error ({exc}); retry {data_failures}/3")
+                continue
             if prefetcher is None:  # prefetcher already device_put with bsh
                 x = jax.device_put(jnp.asarray(x), bsh)
                 emb = jax.device_put(jnp.asarray(emb), bsh)
             self.state, m = self._step_fn(self.state, x, emb, lr_scale)
             i += 1
+
+            if i % cfg.train.log_step == 0 and not np.isfinite(float(m["g_loss"])):
+                print(f"[solver] NON-FINITE loss at step {i}; emergency checkpoint")
+                self.save(i)
+                raise FloatingPointError(f"non-finite loss at step {i}")
 
             if self.plateau is not None:
                 lr_scale = jnp.asarray(self.plateau.step(float(m["g_loss"])), jnp.float32)
@@ -178,6 +215,8 @@ class Solver:
                 self.save(i)
         if prefetcher is not None:
             prefetcher.close()
+        for sig, h in old_handlers.items():
+            signal.signal(sig, h)
         self.ckptr.wait_until_finished()
         return last_metrics
 

@@ -194,3 +194,31 @@ def test_losses_match_torch_reference():
         ref_loss = SingleSrcNegSDR(kind, reduction="mean")(_t(est), _t(tgt)).item()
         ours = float(neg_sdr(jnp.asarray(est), jnp.asarray(tgt), kind))
         assert abs(ours - ref_loss) < 1e-3, (kind, ours, ref_loss)
+
+
+def test_generator_wav_on_reference_debug_fixtures():
+    """Shape-walk GeneratorWav with the reference's captured real batch
+    (x_real_wav.npy / emb_org_wav.npy — the visualize_melspect.ipynb
+    cells 15-23 workflow as an automated test)."""
+    import os
+
+    xp = "/root/reference/x_real_wav.npy"
+    ep = "/root/reference/emb_org_wav.npy"
+    if not (os.path.exists(xp) and os.path.exists(ep)):
+        pytest.skip("reference debug fixtures unavailable")
+    x = np.load(xp).astype(np.float32)  # (2, 33536, 1)
+    emb = np.load(ep).astype(np.float32)  # (2, 256)
+    assert x.shape == (2, 33536, 1) and emb.shape == (2, 256)
+
+    model = GeneratorWav(depth=1)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(emb), jnp.asarray(emb),
+        train=False,
+    )
+    lat, wav, dec, codes = model.apply(
+        variables, jnp.asarray(x), jnp.asarray(emb), jnp.asarray(emb), train=False
+    )
+    assert lat.shape == (2, 128, 512)
+    assert wav.shape == (2, 33536, 1)
+    assert dec.shape == (2, 128, 512)
+    assert codes.shape == (2, 128 // 32 * 64)

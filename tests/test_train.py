@@ -207,3 +207,44 @@ def test_prefetcher_preserves_stream(tmp_path, spmel_iter):
         np.testing.assert_array_equal(np.asarray(xa), xb)
         np.testing.assert_array_equal(np.asarray(ea), eb)
     pf.close()
+
+
+def test_nonfinite_loss_aborts_with_emergency_checkpoint(tmp_path, spmel_iter):
+    class NaNIter:
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            x = np.full((2, LEN_CROP, 80), np.nan, np.float32)
+            return x, np.zeros((2, 256), np.float32)
+
+    cfg = tiny_cfg(tmp_path, log_step=1)
+    solver = Solver(cfg, spmel_iter(), run_dir=str(tmp_path / "nanrun"))
+    solver.data_iter = NaNIter()
+    with pytest.raises(FloatingPointError):
+        solver.train(num_iters=3, prefetch=0)
+    solver.ckptr.wait_until_finished()
+    assert solver.ckptr.latest_step() is not None  # emergency checkpoint saved
+
+
+def test_transient_data_errors_are_retried(tmp_path, spmel_iter):
+    good = spmel_iter()
+
+    class FlakyIter:
+        def __init__(self):
+            self.n = 0
+
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            self.n += 1
+            if self.n in (2, 4):
+                raise OSError("transient read failure")
+            return next(good)
+
+    cfg = tiny_cfg(tmp_path)
+    solver = Solver(cfg, spmel_iter(), run_dir=str(tmp_path / "flaky"))
+    solver.data_iter = FlakyIter()
+    solver.train(num_iters=3, prefetch=0)
+    assert int(solver.state.step) == 3
