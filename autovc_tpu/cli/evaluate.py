@@ -32,8 +32,6 @@ def main(argv=None):
     args = ap.parse_args(argv)
     apply_platform(args)
 
-    import jax.numpy as jnp
-
     from autovc_tpu.cli.convert import load_solver_checkpoint
     from autovc_tpu.config import Config, ModelConfig
     from autovc_tpu.convert import Converter

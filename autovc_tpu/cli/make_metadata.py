@@ -68,7 +68,6 @@ def build_embeddings(
     if source == "reuse":
         return {e.speaker_id: e.embedding for e in load_train_manifest(reuse_path)}
     if source == "dvector":
-        import jax.numpy as jnp
         import torch
 
         from autovc_tpu.interop import dvector_params_from_torch

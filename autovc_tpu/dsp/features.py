@@ -9,8 +9,6 @@ dither stream) are trace-time constants / numpy, exactly as in the reference.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

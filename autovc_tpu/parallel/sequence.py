@@ -21,8 +21,6 @@ All are shard_map-based SPMD functions over a 1-D 'seq' mesh axis.
 
 from __future__ import annotations
 
-import functools
-from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ device mesh, optional tensor parallelism, async-capable orbax checkpoints.
 from __future__ import annotations
 
 import os
-from typing import Any, Iterator
+from typing import Iterator
 
 import jax
 import jax.numpy as jnp

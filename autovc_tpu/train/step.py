@@ -17,7 +17,7 @@ the gradient all-reduce over ICI. Donated state avoids double-buffering the
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
