@@ -106,6 +106,100 @@ class HiFiGANTrainer:
         np.savez(path, **flatten_params(self.params))
 
 
+class HiFiGANGANTrainer(HiFiGANTrainer):
+    """Adversarial fine-tuning: generator (mel L1 x45 + adversarial + feature
+    matching x2) against MPD+MSD discriminators — the full HiFi-GAN
+    objective, layered on top of the reconstruction pretrainer."""
+
+    def __init__(
+        self,
+        cfg: HiFiGANConfig,
+        audio: AudioConfig = AudioConfig(),
+        lr: float = 2e-4,
+        mel_weight: float = 45.0,
+        fm_weight: float = 2.0,
+        seed: int = 0,
+        generator_params=None,
+    ):
+        super().__init__(cfg, audio, lr=lr, seed=seed)
+        if generator_params is not None:  # warm start from pretraining
+            self.params = generator_params
+            self.opt_state = self.optimizer.init(self.params)
+
+        from autovc_tpu.vocoder.discriminators import (
+            HiFiGANDiscriminators,
+            discriminator_loss,
+            feature_matching_loss,
+            generator_adversarial_loss,
+        )
+
+        self.disc = HiFiGANDiscriminators()
+        y0 = jnp.zeros((1, 2048), jnp.float32)
+        self.d_params = self.disc.init(jax.random.PRNGKey(seed + 1), y0)["params"]
+        self.d_optimizer = optax.adamw(lr, b1=0.8, b2=0.99)
+        self.d_opt_state = self.d_optimizer.init(self.d_params)
+        self.gan_history: list[dict] = []
+
+        basis = jnp.asarray(
+            mel_filterbank(audio.sample_rate, audio.n_fft, audio.n_mels,
+                           audio.mel_fmin, audio.mel_fmax)
+        )
+
+        def gan_step(g_params, g_opt, d_params, d_opt, mel, y):
+            # --- discriminator update (generator frozen)
+            y_hat = self.model.apply({"params": g_params}, mel)
+
+            def d_loss_fn(dp):
+                real_s, _ = self.disc.apply({"params": dp}, y)
+                fake_s, _ = self.disc.apply({"params": dp}, jax.lax.stop_gradient(y_hat))
+                return discriminator_loss(real_s, fake_s)
+
+            d_loss, d_grads = jax.value_and_grad(d_loss_fn)(d_params)
+            d_updates, d_opt = self.d_optimizer.update(d_grads, d_opt, d_params)
+            d_params = optax.apply_updates(d_params, d_updates)
+
+            # --- generator update (discriminator frozen)
+            def g_loss_fn(gp):
+                y_hat = self.model.apply({"params": gp}, mel)
+                fake_s, fake_f = self.disc.apply({"params": d_params}, y_hat)
+                _, real_f = self.disc.apply({"params": d_params}, y)
+                adv = generator_adversarial_loss(fake_s)
+                fm = feature_matching_loss(real_f, fake_f)
+                mel_l = log_mel_l1(y_hat, y, basis, audio)
+                return adv + fm_weight * fm + mel_weight * mel_l, (adv, fm, mel_l)
+
+            (g_loss, (adv, fm, mel_l)), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True
+            )(g_params)
+            g_updates, g_opt = self.optimizer.update(g_grads, g_opt, g_params)
+            g_params = optax.apply_updates(g_params, g_updates)
+            metrics = {"d_loss": d_loss, "g_loss": g_loss, "adv": adv, "fm": fm, "mel": mel_l}
+            return g_params, g_opt, d_params, d_opt, metrics
+
+        self._gan_step = jax.jit(gan_step, donate_argnums=(0, 1, 2, 3))
+
+    def train_gan(self, batches: Iterator, num_iters: int, log_step: int = 50):
+        t0 = time.time()
+        for i in range(1, num_iters + 1):
+            mel, y = next(batches)
+            (self.params, self.opt_state, self.d_params, self.d_opt_state, m) = (
+                self._gan_step(
+                    self.params, self.opt_state, self.d_params, self.d_opt_state,
+                    jnp.asarray(mel), jnp.asarray(y),
+                )
+            )
+            if i % log_step == 0 or i == num_iters:
+                rec = {k: float(v) for k, v in m.items()}
+                self.gan_history.append(rec)
+                print(
+                    f"[hifigan-gan] iter {i}/{num_iters} "
+                    + " ".join(f"{k}={v:.3f}" for k, v in rec.items())
+                    + f" ({(time.time() - t0) / i:.2f}s/it)",
+                    flush=True,
+                )
+        return self.gan_history[-1] if self.gan_history else {}
+
+
 def hifigan_crop_batch(wavs, mels, batch_size, frames, hop, rng):
     """(mel (B, frames, 80), wav (B, frames*hop)) aligned random crops."""
     ms, ys = [], []

@@ -223,3 +223,25 @@ def test_hifigan_trainer_loss_decreases(tmp_path, reference_dir):
     voc = HiFiGANVocoder.from_checkpoint(cfg, ckpt)
     wav = voc.generate(mel[:4].astype(np.float32))
     assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_hifigan_gan_training_step(reference_dir):
+    """Adversarial fine-tuning runs: D learns (loss drops), G stays finite,
+    mel term keeps improving or holding."""
+    from autovc_tpu.dsp import read_wav
+    from autovc_tpu.vocoder.train_hifigan import HiFiGANGANTrainer, hifigan_crop_batch
+
+    x, _ = read_wav(reference_dir + "/wavs/p227/p227_003.wav")
+    mel = np.load(reference_dir + "/spmel/p227/p227_003.npy")
+    rng = np.random.default_rng(2)
+    cfg = HiFiGANConfig(upsample_initial_channel=32)
+
+    def batches():
+        while True:
+            yield hifigan_crop_batch([x], [mel], 2, frames=8, hop=256, rng=rng)
+
+    trainer = HiFiGANGANTrainer(cfg, lr=2e-4)
+    trainer.train_gan(batches(), num_iters=6, log_step=2)
+    hist = trainer.gan_history
+    assert all(np.isfinite(list(h.values())).all() for h in hist)
+    assert hist[-1]["d_loss"] < hist[0]["d_loss"]  # D learns real-vs-fake
