@@ -68,15 +68,27 @@ def build_embeddings(
     if source == "reuse":
         return {e.speaker_id: e.embedding for e in load_train_manifest(reuse_path)}
     if source == "dvector":
-        import torch
-
-        from autovc_tpu.interop import dvector_params_from_torch
         from autovc_tpu.models import DVector
 
-        ckpt = torch.load(dvector_ckpt, map_location="cpu")
-        sd = ckpt.get("model_b", ckpt)
-        params = dvector_params_from_torch(sd)
-        model = DVector(dim_input=80, dim_cell=768, dim_emb=dim_emb)
+        if dvector_ckpt.endswith(".npz"):
+            # GE2E trained by our train_speaker_encoder CLI
+            from autovc_tpu.train.ge2e import GE2ETrainer
+
+            tree = GE2ETrainer.load_params(dvector_ckpt)
+            params = tree["dvector"]
+            dim_cell = int(params["lstm"]["w_hh_l0_fwd"].shape[0])
+            dim_emb_ck = int(params["embedding"]["kernel"].shape[1])
+            model = DVector(dim_input=80, dim_cell=dim_cell, dim_emb=dim_emb_ck)
+        else:
+            # reference torch GE2E checkpoint (3000000-BL.ckpt format)
+            import torch
+
+            from autovc_tpu.interop import dvector_params_from_torch
+
+            ckpt = torch.load(dvector_ckpt, map_location="cpu")
+            sd = ckpt.get("model_b", ckpt)
+            params = dvector_params_from_torch(sd)
+            model = DVector(dim_input=80, dim_cell=768, dim_emb=dim_emb)
         apply_fn = lambda x: model.apply({"params": params}, x)
         rng = np.random.default_rng(seed)
         return {s: embed_speaker(apply_fn, mel_dir, s, rng) for s in speakers}

@@ -132,6 +132,11 @@ class FeatureStore:
         return out
 
     def __del__(self):
-        if getattr(self, "_store", None):
-            self._lib.avc_store_destroy(ctypes.c_void_p(self._store))
+        store = getattr(self, "_store", None)
+        lib = getattr(self, "_lib", None)
+        if store and lib is not None:
+            try:
+                lib.avc_store_destroy(ctypes.c_void_p(store))
+            except TypeError:  # interpreter shutdown already tore down ctypes
+                pass
             self._store = None
