@@ -42,6 +42,10 @@ def main(argv=None):
     ap.add_argument("--main_dir", required=True)
     ap.add_argument("--run_dir", required=True)
     ap.add_argument("--model_type", default="spmel", choices=["spmel", "stft", "wav"])
+    ap.add_argument(
+        "--pallas", action="store_true",
+        help="Pallas fused LSTM kernels (much faster TPU compiles, inference-only)",
+    )
     ap.add_argument("--use_ema", action="store_true", help="convert with EMA weights")
     ap.add_argument("--pdf", action="store_true", help="save spectrogram PDFs")
     ap.add_argument("--out", default=None, help="results pickle path")
@@ -65,7 +69,10 @@ def main(argv=None):
     stats = restored["batch_stats"]
 
     cfg = Config(
-        model=ModelConfig(model_type=args.model_type, convtas_depth=args.depth),
+        model=ModelConfig(
+            model_type=args.model_type, convtas_depth=args.depth,
+            use_pallas_lstm=args.pallas,
+        ),
         main_dir=args.main_dir,
     )
     model = build_generator(cfg.model)

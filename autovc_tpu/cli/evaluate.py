@@ -27,6 +27,10 @@ def main(argv=None):
     ap.add_argument("--main_dir", required=True)
     ap.add_argument("--run_dir", required=True)
     ap.add_argument("--model_type", default="spmel", choices=["spmel", "stft"])
+    ap.add_argument(
+        "--pallas", action="store_true",
+        help="Pallas fused LSTM kernels (much faster TPU compiles, inference-only)",
+    )
     ap.add_argument("--use_ema", action="store_true")
     ap.add_argument("--max_utts", type=int, default=0, help="0 = all")
     args = ap.parse_args(argv)
@@ -42,7 +46,10 @@ def main(argv=None):
     params = restored["ema_params" if args.use_ema else "params"]
     stats = restored["batch_stats"]
 
-    cfg = Config(model=ModelConfig(model_type=args.model_type), main_dir=args.main_dir)
+    cfg = Config(
+        model=ModelConfig(model_type=args.model_type, use_pallas_lstm=args.pallas),
+        main_dir=args.main_dir,
+    )
     model = build_generator(cfg.model)
     conv = Converter(model, params, stats, cfg)
 

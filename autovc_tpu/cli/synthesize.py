@@ -32,6 +32,10 @@ def main(argv=None):
     ap.add_argument("--vocoder", default="griffinlim", choices=["griffinlim", "wavenet", "hifigan"])
     ap.add_argument("--vocoder_ckpt", default=None)
     ap.add_argument("--gl_iters", type=int, default=60)
+    ap.add_argument(
+        "--bf16", action="store_true",
+        help="bfloat16 WaveNet generation (halves HBM weight streaming)",
+    )
     args = ap.parse_args(argv)
     apply_platform(args)
 
@@ -49,10 +53,13 @@ def main(argv=None):
                 return stft_to_waveform(feat, cfg.audio, n_iter=args.gl_iters)
             return mel_to_waveform(feat, cfg.audio, n_iter=args.gl_iters)
     elif args.vocoder == "wavenet":
+        import jax.numpy as jnp
+
         from autovc_tpu.vocoder.wavenet import WaveNetVocoder
 
         voc = WaveNetVocoder.from_checkpoint(cfg.wavenet, args.vocoder_ckpt)
-        synth = lambda mel: voc.generate(mel)
+        dt = jnp.bfloat16 if args.bf16 else jnp.float32
+        synth = lambda mel: voc.generate(mel, dtype=dt)
     else:
         from autovc_tpu.vocoder.hifigan import HiFiGANVocoder
 

@@ -30,6 +30,7 @@ def build_generator(model_cfg):
             freq=model_cfg.freq,
             n_bins=model_cfg.n_bins,
             dtype=dtype,
+            use_pallas=model_cfg.use_pallas_lstm,
         )
     if model_cfg.model_type == "wav":
         return GeneratorWav(
@@ -40,6 +41,7 @@ def build_generator(model_cfg):
             depth=model_cfg.convtas_depth,
             channels=model_cfg.convtas_channels,
             dtype=dtype,
+            use_pallas=model_cfg.use_pallas_lstm,
         )
     raise ValueError(f"unknown model_type {model_cfg.model_type!r}")
 

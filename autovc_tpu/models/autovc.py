@@ -39,6 +39,7 @@ class Encoder(nn.Module):
     freq: int = 32
     channels: int = 512
     dtype: Any = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, c_org, train: bool = True):
@@ -50,7 +51,10 @@ class Encoder(nn.Module):
             h = ConvNorm(self.channels, 5, w_init_gain="relu", dtype=self.dtype, name=f"conv{i}")(h)
             h = BatchNorm(dtype=self.dtype, name=f"bn{i}")(h, use_running_average=not train)
             h = nn.relu(h)
-        out = LSTM(self.dim_neck, num_layers=2, bidirectional=True, dtype=self.dtype, name="blstm")(h)
+        out = LSTM(
+            self.dim_neck, num_layers=2, bidirectional=True, dtype=self.dtype,
+            use_pallas=self.use_pallas, name="blstm",
+        )(h)
 
         # bottleneck by time-downsampling (model_vc_mel.py:74-79):
         # per freq-block, keep forward state at the block END and backward
@@ -72,15 +76,16 @@ class Decoder(nn.Module):
     dim_pre: int = 512
     lstm_dim: int = 1024
     dtype: Any = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        h = LSTM(self.dim_pre, num_layers=1, dtype=self.dtype, name="lstm1")(x)
+        h = LSTM(self.dim_pre, num_layers=1, dtype=self.dtype, use_pallas=self.use_pallas, name="lstm1")(x)
         for i in range(3):
             h = ConvNorm(self.dim_pre, 5, w_init_gain="relu", dtype=self.dtype, name=f"conv{i}")(h)
             h = BatchNorm(dtype=self.dtype, name=f"bn{i}")(h, use_running_average=not train)
             h = nn.relu(h)
-        h = LSTM(self.lstm_dim, num_layers=2, dtype=self.dtype, name="lstm2")(h)
+        h = LSTM(self.lstm_dim, num_layers=2, dtype=self.dtype, use_pallas=self.use_pallas, name="lstm2")(h)
         return LinearNorm(self.n_bins, dtype=self.dtype, name="proj")(h)
 
 
@@ -125,10 +130,15 @@ class Generator(nn.Module):
     freq: int = 32
     n_bins: int = 80
     dtype: Any = None
+    use_pallas: bool = False
 
     def setup(self):
-        self.encoder = Encoder(self.dim_neck, self.freq, dtype=self.dtype)
-        self.decoder = Decoder(self.n_bins, self.dim_pre, dtype=self.dtype)
+        self.encoder = Encoder(
+            self.dim_neck, self.freq, dtype=self.dtype, use_pallas=self.use_pallas
+        )
+        self.decoder = Decoder(
+            self.n_bins, self.dim_pre, dtype=self.dtype, use_pallas=self.use_pallas
+        )
         self.postnet = Postnet(self.n_bins, dtype=self.dtype)
 
     def encode(self, x, c_org, train: bool = True):

@@ -94,11 +94,16 @@ class GeneratorWav(nn.Module):
     depth: int = 1
     channels: int = 512
     dtype: Any = None
+    use_pallas: bool = False
 
     def setup(self):
         self.tas_encoder = ConvTasEncoder(self.depth, self.channels, dtype=self.dtype)
-        self.encoder = Encoder(self.dim_neck, self.freq, dtype=self.dtype)
-        self.decoder = Decoder(self.channels, self.dim_pre, dtype=self.dtype)
+        self.encoder = Encoder(
+            self.dim_neck, self.freq, dtype=self.dtype, use_pallas=self.use_pallas
+        )
+        self.decoder = Decoder(
+            self.channels, self.dim_pre, dtype=self.dtype, use_pallas=self.use_pallas
+        )
         self.tas_decoder = ConvTasDecoder(self.depth, self.channels, dtype=self.dtype)
 
     def _latent(self, x, train: bool):

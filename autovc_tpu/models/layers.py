@@ -176,7 +176,12 @@ class LSTM(nn.Module):
                 xproj = h.astype(compute_dtype) @ w_ih.astype(compute_dtype) + b.astype(
                     compute_dtype
                 )
-                if self.use_pallas:
+                # pallas path: only where the full weight block fits VMEM
+                # comfortably (H <= 512 at f32); larger LSTMs keep the scan
+                use_pallas_here = (
+                    self.use_pallas and self.hidden * 4 * self.hidden * 4 <= 8 * 1024 * 1024
+                )
+                if use_pallas_here:
                     from autovc_tpu.ops.pallas_lstm import lstm_sequence
 
                     pad_b = (-B) % 8  # sublane tile

@@ -3,13 +3,22 @@
 The recurrence h_t = f(x_proj_t, h_{t-1}) is the serial bottleneck of every
 model in this framework (encoder BLSTM, decoder LSTMs, the GE2E d-vector).
 XLA's lax.scan re-materializes the recurrent weight operand per iteration
-from HBM; this kernel instead runs the WHOLE sequence as one pallas_call with
-a grid over time, keeping
-  - w_hh (H, 4H) resident in VMEM for the entire sequence (constant
-    index_map -> fetched once),
+from HBM; this kernel instead runs the sequence as pallas_calls with a grid
+over time, keeping
+  - w_hh (H, 4H) resident in VMEM for the whole call (constant index_map ->
+    fetched once),
   - the (h, c) carry in VMEM scratch (TPU grids execute sequentially, so
     scratch persists across grid steps),
 while x-projections stream in per step and hidden outputs stream out.
+
+Long sequences are processed in fixed-size time chunks with the (h, c)
+carry passed between calls — this bounds each call's output buffer so XLA
+can't blow the 16MB scoped-VMEM budget by pinning a whole-sequence output
+on-chip (observed with T=512, H=1024 inside larger programs).
+
+Measured on the tunneled v5e: ~equal steady-state runtime to the XLA scan,
+but ~500x faster to compile (1.2s vs 566s) — which is why conversion exposes
+it via --pallas. Inference-only until a custom VJP is added.
 
 The input projection x @ w_ih (the big MXU matmul) stays OUTSIDE the kernel
 where XLA tiles it best — same hoisting as layers.LSTM.
@@ -27,13 +36,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _lstm_kernel(xproj_ref, w_hh_ref, out_ref, h_scratch, c_scratch, *, hidden):
+def _lstm_kernel(xproj_ref, w_hh_ref, h0_ref, c0_ref, out_ref, hn_ref, cn_ref,
+                 h_scratch, c_scratch, *, hidden):
     t = pl.program_id(0)
+    nt = pl.num_programs(0)
 
     @pl.when(t == 0)
     def _init():
-        h_scratch[:] = jnp.zeros_like(h_scratch)
-        c_scratch[:] = jnp.zeros_like(c_scratch)
+        h_scratch[:] = h0_ref[:]
+        c_scratch[:] = c0_ref[:]
 
     gates = xproj_ref[0] + jnp.dot(
         h_scratch[:], w_hh_ref[:], preferred_element_type=jnp.float32
@@ -48,20 +59,128 @@ def _lstm_kernel(xproj_ref, w_hh_ref, out_ref, h_scratch, c_scratch, *, hidden):
     h_scratch[:] = h
     out_ref[0] = h
 
+    @pl.when(t == nt - 1)
+    def _final():
+        hn_ref[:] = h
+        cn_ref[:] = c
 
-def lstm_sequence(xproj, w_hh, reverse: bool = False, interpret: bool | None = None):
+
+def _lstm_kernel_split(xproj_ref, w_hh_ref, h0_ref, c0_ref, out_ref, hn_ref, cn_ref,
+                       h_scratch, c_scratch, g_scratch, *, hidden):
+    """Gate-split variant: grid (T, 4); step (t, j) computes gate j's
+    preactivation with a (H, H) weight block (4x smaller VMEM footprint than
+    the full (H, 4H) matrix — needed for H=1024 where w_hh alone is 16MB)."""
+    t = pl.program_id(0)
+    j = pl.program_id(1)
+    nt = pl.num_programs(0)
+
+    @pl.when(jnp.logical_and(t == 0, j == 0))
+    def _init():
+        h_scratch[:] = h0_ref[:]
+        c_scratch[:] = c0_ref[:]
+
+    g_scratch[j] = xproj_ref[0, 0] + jnp.dot(
+        h_scratch[:], w_hh_ref[0], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == 3)
+    def _update():
+        i_g, f_g, g_g, o_g = g_scratch[0], g_scratch[1], g_scratch[2], g_scratch[3]
+        c = jax.nn.sigmoid(f_g) * c_scratch[:] + jax.nn.sigmoid(i_g) * jnp.tanh(g_g)
+        h = jax.nn.sigmoid(o_g) * jnp.tanh(c)
+        c_scratch[:] = c
+        h_scratch[:] = h
+        out_ref[0] = h
+
+        @pl.when(t == nt - 1)
+        def _final():
+            hn_ref[:] = h
+            cn_ref[:] = c
+
+
+def _lstm_chunk_split(xproj_t, w_hh, h0, c0, interpret: bool):
+    """Gate-split chunk for large hidden sizes. Reshapes the gate axis into a
+    leading block dim so BlockSpecs can tile it."""
+    tc, b, h4 = xproj_t.shape
+    hidden = h4 // 4
+    # gate axis leads so Mosaic's last-two-dims tiling constraint is met:
+    # (Tc, B, 4H) -> (4, Tc, B, H);  (H, 4H) -> (4, H, H)
+    xg = xproj_t.reshape(tc, b, 4, hidden).transpose(2, 0, 1, 3)
+    wg = w_hh.reshape(hidden, 4, hidden).transpose(1, 0, 2)
+    return pl.pallas_call(
+        functools.partial(_lstm_kernel_split, hidden=hidden),
+        grid=(tc, 4),
+        in_specs=[
+            pl.BlockSpec((1, 1, b, hidden), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden, hidden), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, hidden), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, hidden), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, b, hidden), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, hidden), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, hidden), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((tc, b, hidden), xproj_t.dtype),
+            jax.ShapeDtypeStruct((b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((b, hidden), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b, hidden), jnp.float32),
+            pltpu.VMEM((b, hidden), jnp.float32),
+            pltpu.VMEM((4, b, hidden), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xg, wg, h0, c0)
+
+
+def _lstm_chunk(xproj_t, w_hh, h0, c0, interpret: bool):
+    """One chunk: xproj_t (Tc, B, 4H) time-major -> (out (Tc,B,H), hN, cN)."""
+    tc, b, h4 = xproj_t.shape
+    hidden = h4 // 4
+    return pl.pallas_call(
+        functools.partial(_lstm_kernel, hidden=hidden),
+        grid=(tc,),
+        in_specs=[
+            pl.BlockSpec((1, b, h4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, h4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, b, hidden), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((tc, b, hidden), xproj_t.dtype),
+            jax.ShapeDtypeStruct((b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((b, hidden), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b, hidden), jnp.float32),
+            pltpu.VMEM((b, hidden), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xproj_t, w_hh, h0, c0)
+
+
+def lstm_sequence(xproj, w_hh, reverse: bool = False, interpret: bool | None = None,
+                  chunk: int = 128):
     """See _lstm_sequence; interpret=None auto-selects interpreter mode off-TPU."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
-    return _lstm_sequence(xproj, w_hh, reverse=reverse, interpret=interpret)
+    return _lstm_sequence(xproj, w_hh, reverse=reverse, interpret=interpret, chunk=chunk)
 
 
-@functools.partial(jax.jit, static_argnames=("reverse", "interpret"))
+@functools.partial(jax.jit, static_argnames=("reverse", "interpret", "chunk"))
 def _lstm_sequence(
     xproj: jax.Array,
     w_hh: jax.Array,
     reverse: bool = False,
     interpret: bool = False,
+    chunk: int = 128,
 ) -> jax.Array:
     """Run an LSTM over precomputed input projections.
 
@@ -75,21 +194,22 @@ def _lstm_sequence(
     if reverse:
         xt = xt[::-1]
 
-    out = pl.pallas_call(
-        functools.partial(_lstm_kernel, hidden=hidden),
-        grid=(t,),
-        in_specs=[
-            pl.BlockSpec((1, b, h4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden, h4), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, b, hidden), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, b, hidden), xproj.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((b, hidden), jnp.float32),
-            pltpu.VMEM((b, hidden), jnp.float32),
-        ],
-        interpret=interpret,
-    )(xt, w_hh)
+    # full (H, 4H) weights above ~8MB can't stay VMEM-resident next to the
+    # activation blocks. The gate-split kernel ((H, H) blocks) handles that
+    # case but compiles slowly on remote-AOT helpers, so by default large-H
+    # LSTMs fall back to the XLA scan (see layers.LSTM) and callers only get
+    # pallas where it's a clear win.
+    split = w_hh.size * w_hh.dtype.itemsize > 8 * 1024 * 1024
+    chunk_fn = _lstm_chunk_split if split else _lstm_chunk
+
+    h = jnp.zeros((b, hidden), jnp.float32)
+    c = jnp.zeros((b, hidden), jnp.float32)
+    outs = []
+    for start in range(0, t, chunk):
+        end = min(start + chunk, t)
+        out, h, c = chunk_fn(xt[start:end], w_hh, h, c, interpret)
+        outs.append(out)
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
     if reverse:
         out = out[::-1]

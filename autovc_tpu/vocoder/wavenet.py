@@ -226,31 +226,43 @@ def discretized_mol_loss(
 # ----------------------------------------------------------- fast generation
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "length"))
-def _generate_scan(params: dict, cfg: WaveNetConfig, cond: jax.Array, key: jax.Array, length: int):
-    """The cached fast-generation scan. cond: (B, length, C)."""
+@functools.partial(jax.jit, static_argnames=("cfg", "length", "dtype"))
+def _generate_scan(
+    params: dict,
+    cfg: WaveNetConfig,
+    cond: jax.Array,
+    key: jax.Array,
+    length: int,
+    dtype=jnp.float32,
+):
+    """The cached fast-generation scan. cond: (B, length, C).
+
+    dtype=bfloat16 halves the per-step weight streaming from HBM (the
+    autoregressive bottleneck); logits/sampling stay float32.
+    """
     b = cond.shape[0]
     r, g, s = cfg.residual_channels, cfg.gate_channels, cfg.skip_channels
     dils = cfg.dilations()
 
     # circular dilation buffers: layer i holds the last 2*d residual inputs
-    bufs = tuple(jnp.zeros((b, 2 * d, r), jnp.float32) for d in dils)
+    bufs = tuple(jnp.zeros((b, 2 * d, r), dtype) for d in dils)
     x0 = jnp.zeros((b,), jnp.float32)
 
-    cond_t = jnp.swapaxes(cond, 0, 1)  # (T, B, C)
+    cond_t = jnp.swapaxes(cond, 0, 1).astype(dtype)  # (T, B, C)
     keys = jax.random.split(key, length)
     ts = jnp.arange(length, dtype=jnp.int32)
 
-    first_k = params["first_conv"]["kernel"]
-    first_b = params["first_conv"]["bias"]
-    lps = [params["layers"][str(i)] for i in range(cfg.layers)]
+    cast = lambda t: jax.tree_util.tree_map(lambda a: a.astype(dtype), t)
+    first_k = cast(params["first_conv"]["kernel"])
+    first_b = cast(params["first_conv"]["bias"])
+    lps = [cast(params["layers"][str(i)]) for i in range(cfg.layers)]
 
     def step(carry, scanned):
         bufs, x_prev = carry
         c_t, k_t, t = scanned
 
-        h = x_prev[:, None] * first_k[0] + first_b  # (B, R): 1x1 "conv" on scalar
-        skip_sum = jnp.zeros((b, s), jnp.float32)
+        h = (x_prev[:, None].astype(dtype)) * first_k[0] + first_b  # (B, R)
+        skip_sum = jnp.zeros((b, s), dtype)
         new_bufs = []
         for i, d in enumerate(dils):
             lp = lps[i]
@@ -277,7 +289,7 @@ def _generate_scan(params: dict, cfg: WaveNetConfig, cond: jax.Array, key: jax.A
             new_bufs.append(buf)
             h = new_h
 
-        out = jax.nn.relu(skip_sum)
+        out = jax.nn.relu(skip_sum).astype(jnp.float32)
         out = jax.nn.relu(out @ params["last1"]["kernel"] + params["last1"]["bias"])
         logits = out @ params["last2"]["kernel"] + params["last2"]["bias"]
         x_t = sample_from_mol(logits, k_t, cfg.log_scale_min)
@@ -313,9 +325,12 @@ class WaveNetVocoder:
         sd = ckpt.get("state_dict", ckpt)
         return cls(cfg, wavenet_params_from_torch(sd, cfg))
 
-    def generate(self, mel: np.ndarray, key: jax.Array | None = None) -> jax.Array:
+    def generate(
+        self, mel: np.ndarray, key: jax.Array | None = None, dtype=jnp.float32
+    ) -> jax.Array:
         """mel (Tc, 80) or (B, Tc, 80) normalized -> waveform (B?, Tc*256),
-        mirroring wavegen()'s length contract (synthesis.py:52-55)."""
+        mirroring wavegen()'s length contract (synthesis.py:52-55).
+        dtype=jnp.bfloat16 halves HBM weight traffic per sample."""
         if key is None:
             key = jax.random.PRNGKey(0)
         mel = jnp.asarray(mel, jnp.float32)
@@ -324,7 +339,7 @@ class WaveNetVocoder:
             mel = mel[None]
         length = mel.shape[1] * self.cfg.hop_size
         cond = upsample_conditioning(self.params, self.cfg, mel)[:, :length]
-        wav, _ = _generate_scan(self.params, self.cfg, cond, key, length)
+        wav, _ = _generate_scan(self.params, self.cfg, cond, key, length, dtype=dtype)
         return wav[0] if squeeze else wav
 
     def logits(self, x: jax.Array, mel: jax.Array) -> jax.Array:

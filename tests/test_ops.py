@@ -69,3 +69,55 @@ def test_layers_lstm_pallas_path_matches_scan_path():
         variables, x
     )
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-5)
+
+
+def test_generator_pallas_path_matches_default():
+    """build_generator(use_pallas_lstm=True) forward == default path."""
+    from autovc_tpu.config import ModelConfig
+    from autovc_tpu.models import build_generator
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(1, 64, 80), jnp.float32)
+    emb = jnp.asarray(rng.randn(1, 256), jnp.float32)
+
+    ref_model = build_generator(ModelConfig())
+    variables = ref_model.init(jax.random.PRNGKey(0), x, emb, emb, train=False)
+    ref = ref_model.apply(variables, x, emb, emb, train=False)
+
+    fast_model = build_generator(ModelConfig(use_pallas_lstm=True))
+    out = fast_model.apply(variables, x, emb, emb, train=False)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_pallas_lstm_gate_split_path():
+    """Large-H path (gate-split kernel) == scan reference."""
+    from autovc_tpu.models.layers import _lstm_scan
+    from autovc_tpu.ops.pallas_lstm import _lstm_sequence
+
+    rng = np.random.RandomState(4)
+    b, t, h = 8, 20, 64
+    xproj = jnp.asarray(rng.randn(b, t, 4 * h) * 0.2, jnp.float32)
+    w_hh = jnp.asarray(rng.randn(h, 4 * h) * 0.1, jnp.float32)
+    ref = _lstm_scan(xproj, w_hh, jnp.zeros((b, h)), jnp.zeros((b, h)), False)
+
+    # force the split path regardless of size by monkeypatching the chooser
+    import autovc_tpu.ops.pallas_lstm as pk
+
+    out, hn, cn = pk._lstm_chunk_split(
+        jnp.swapaxes(xproj, 0, 1), w_hh, jnp.zeros((b, h)), jnp.zeros((b, h)), True
+    )
+    out = jnp.swapaxes(out, 0, 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hn), np.asarray(ref[:, -1]), atol=1e-5)
+
+
+def test_pallas_lstm_chunked_matches_unchunked():
+    from autovc_tpu.ops.pallas_lstm import lstm_sequence
+
+    rng = np.random.RandomState(5)
+    xproj = jnp.asarray(rng.randn(8, 50, 4 * 32) * 0.2, jnp.float32)
+    w_hh = jnp.asarray(rng.randn(32, 4 * 32) * 0.2, jnp.float32)
+    a = lstm_sequence(xproj, w_hh, interpret=True, chunk=16)
+    b_ = lstm_sequence(xproj, w_hh, interpret=True, chunk=1000)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-6)
