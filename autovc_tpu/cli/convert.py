@@ -100,6 +100,13 @@ def main(argv=None):
 
         results = [(str(s.conversion_id), converter.convert(s)) for s in specs]
         save_results(out_path, results)
+    elif args.all_pairs and args.model_type != "wav":
+        # batched path: one compiled program per length bucket fills the MXU
+        from autovc_tpu.data.manifest import save_results
+
+        outs = converter.convert_batch(specs, batch_size=8)
+        results = [(str(s.conversion_id), o) for s, o in zip(specs, outs)]
+        save_results(out_path, results)
     else:
         results = run_conversions(converter, specs, out_path)
 

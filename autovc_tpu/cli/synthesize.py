@@ -66,6 +66,13 @@ def main(argv=None):
         voc = HiFiGANVocoder.from_checkpoint(cfg.hifigan, args.vocoder_ckpt)
         synth = lambda mel: voc.generate(mel)
 
+    readme_lines = [
+        "# Synthesized conversions",
+        f"vocoder: {args.vocoder}; results: {os.path.abspath(args.results)}",
+        "Cross-reference conversion ids against the metadata.log written by",
+        "make_metadata (the reference's results/readme.md convention).",
+        "",
+    ]
     for name, mel in results:
         wav = np.asarray(synth(np.asarray(mel, np.float32)))
         peak = np.abs(wav).max()
@@ -73,7 +80,11 @@ def main(argv=None):
             wav = wav / peak * 0.999
         path = os.path.join(args.out_dir, f"{name}.wav")
         write_wav(path, wav, cfg.audio.sample_rate)  # vocoder.py:22
-        print(f"[synthesize] {path} ({wav.shape[-1] / cfg.audio.sample_rate:.2f}s)")
+        dur = wav.shape[-1] / cfg.audio.sample_rate
+        readme_lines.append(f"- {name}.wav ({dur:.2f}s)")
+        print(f"[synthesize] {path} ({dur:.2f}s)")
+    with open(os.path.join(args.out_dir, "readme.md"), "w") as fh:
+        fh.write("\n".join(readme_lines) + "\n")
 
 
 if __name__ == "__main__":

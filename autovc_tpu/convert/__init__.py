@@ -89,6 +89,47 @@ class Converter:
             out = np.asarray(jnp.asarray(out) @ self._mel_basis)
         return out
 
+    def convert_batch(
+        self, specs: Sequence[ConversionSpec], batch_size: int = 8, to_mel: bool = True
+    ) -> list[np.ndarray]:
+        """Batched conversion: specs grouped by bucketed length and run
+        `batch_size` at a time through one compiled program per bucket —
+        the throughput path for all-pairs matrices (one device fills its MXU
+        with B utterances instead of B sequential singles)."""
+        base = self.cfg.model.freq
+        prepared = []
+        for i, s in enumerate(specs):
+            x, len_pad = pad_seq(s.src_features, base=base)
+            tb = bucket_length(x.shape[0], base)
+            prepared.append((i, s, x, len_pad, tb))
+
+        results: list[np.ndarray | None] = [None] * len(specs)
+        by_bucket: dict[int, list] = {}
+        for item in prepared:
+            by_bucket.setdefault(item[4], []).append(item)
+
+        for tb, items in by_bucket.items():
+            for off in range(0, len(items), batch_size):
+                group = items[off : off + batch_size]
+                b = len(group)
+                xs = np.zeros((batch_size, tb, group[0][2].shape[-1]), np.float32)
+                es = np.zeros((batch_size, group[0][1].src_embedding.shape[0]), np.float32)
+                et = np.zeros_like(es)
+                for k, (_, s, x, _, _) in enumerate(group):
+                    xs[k, : x.shape[0]] = x
+                    es[k] = s.src_embedding
+                    et[k] = s.trg_embedding
+                out = np.asarray(
+                    self._fwd(self.variables, jnp.asarray(xs), jnp.asarray(es), jnp.asarray(et))
+                )
+                for k, (idx, s, x, len_pad, _) in enumerate(group):
+                    total_pad = tb - x.shape[0] + len_pad
+                    r = out[k][: tb - total_pad]
+                    if to_mel and self.cfg.model.model_type == "stft":
+                        r = np.asarray(jnp.asarray(r) @ self._mel_basis)
+                    results[idx] = r
+        return results  # type: ignore[return-value]
+
 
 def run_conversions(
     converter: Converter,

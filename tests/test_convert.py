@@ -129,3 +129,23 @@ def test_all_pairs_specs(reference_dir):
     assert len(specs) == 49  # 7 x 7 conversion matrix (conversion_temp.py)
     assert specs[0].src_name.startswith("p001")
     assert {s.trg_speaker for s in specs[:7]} == {e.speaker_id for e in entries}
+
+
+def test_convert_batch_matches_single(reference_dir, converter_and_specs):
+    """Batched conversion == per-spec conversion, across mixed lengths."""
+    conv, _ = converter_and_specs
+    entries = load_train_manifest(reference_dir + "/spmel/train.pkl")
+    by_id = {e.speaker_id: e for e in entries}
+    specs = []
+    for i, (spk, utt) in enumerate(
+        [("p225", "p225_003"), ("p226", "p226_023"), ("p228", "p228_003")]
+    ):
+        feats = np.load(f"{reference_dir}/spmel/{spk}/{utt}.npy")
+        specs.append(
+            ConversionSpec(i, utt, by_id[spk].embedding, feats, "p228", by_id["p228"].embedding)
+        )
+    singles = [conv.convert_to_mel(s) for s in specs]
+    batched = conv.convert_batch(specs, batch_size=2)
+    for s, b in zip(singles, batched):
+        assert s.shape == b.shape
+        np.testing.assert_allclose(b, s, atol=2e-5)
