@@ -63,3 +63,35 @@ def test_pack_zero_pads_past_end(reference_dir):
     a = np.load(paths[0])
     np.testing.assert_array_equal(batch[0, :10], a[-10:])
     assert (batch[0, 10:] == 0).all()
+
+
+def test_tsan_stress_harness_clean(reference_dir, tmp_path):
+    """Race detection (SURVEY §5.2): the threaded loader under
+    ThreadSanitizer reports no races. Skips when TSan is unavailable."""
+    import shutil
+    import subprocess
+
+    if shutil.which("g++") is None:
+        pytest.skip("no g++")
+    src_dir = os.path.dirname(os.path.abspath(__import__("autovc_tpu.runtime", fromlist=["x"]).__file__))
+    binary = str(tmp_path / "tsan_stress")
+    build = subprocess.run(
+        [
+            "g++", "-fsanitize=thread", "-std=c++17", "-g", "-O1", "-o", binary,
+            os.path.join(src_dir, "tsan_stress.cc"),
+            os.path.join(src_dir, "loader.cc"),
+            "-lpthread",
+        ],
+        capture_output=True,
+        text=True,
+    )
+    if build.returncode != 0:
+        pytest.skip(f"tsan build unavailable: {build.stderr[:200]}")
+    npys = [
+        os.path.join(reference_dir, "spmel", "p225", f)
+        for f in sorted(os.listdir(os.path.join(reference_dir, "spmel", "p225")))[:4]
+    ]
+    run = subprocess.run([binary, *npys], capture_output=True, text=True, timeout=120)
+    assert run.returncode == 0, run.stderr[-500:]
+    assert "OK" in run.stdout
+    assert "WARNING: ThreadSanitizer" not in run.stderr
