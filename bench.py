@@ -48,7 +48,8 @@ def main():
 
     T_real = feats.shape[0]
     T_pad = 512  # bucket (multiple of freq=32)
-    B = 8
+    B = 32  # batch sweep on v5e: 506x RT @ B=8 -> 779x @ B=32 (LSTM weight
+    # streaming amortizes across the batch)
     x = np.zeros((B, T_pad, 80), np.float32)
     x[:, :T_real] = feats
     e_src = np.tile(emb_src, (B, 1)).astype(np.float32)
