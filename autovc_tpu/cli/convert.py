@@ -34,6 +34,45 @@ def load_solver_checkpoint(run_dir: str):
     return restored, step
 
 
+class _SeqParallelConverter:
+    """Converter facade over SPGenerator: each utterance's time axis is
+    sharded across a 1-D 'seq' device mesh (long-utterance path)."""
+
+    def __init__(self, params, stats, cfg, n_devices: int):
+        import jax
+        from jax.sharding import Mesh
+
+        from autovc_tpu.convert.sequence_parallel import SPGenerator
+
+        devices = np.asarray(jax.devices()[:n_devices])
+        self.mesh = Mesh(devices, ("seq",))
+        self.sp = SPGenerator(params, stats, cfg.model, self.mesh)
+        self.cfg = cfg
+        self.n = n_devices
+        from autovc_tpu.dsp.mel import mel_filterbank
+
+        self._mel_basis = mel_filterbank(
+            cfg.audio.sample_rate, cfg.audio.n_fft, cfg.audio.n_mels,
+            cfg.audio.mel_fmin, cfg.audio.mel_fmax,
+        )
+
+    def convert(self, spec):
+        from autovc_tpu.convert import pad_seq
+
+        x, len_pad = pad_seq(spec.src_features, base=self.cfg.model.freq * self.n)
+        _, x_psnt, _ = self.sp(
+            x[None], spec.src_embedding[None], spec.trg_embedding[None]
+        )
+        out = np.asarray(x_psnt[0])
+        return out[: out.shape[0] - len_pad] if len_pad else out
+
+    def convert_to_mel(self, spec):
+        out = self.convert(spec)
+        if self.cfg.model.model_type == "stft":
+            out = out @ self._mel_basis
+        return out
+
+
 def main(argv=None):
     from autovc_tpu.cli._common import add_platform_arg, apply_platform
 
@@ -61,6 +100,13 @@ def main(argv=None):
         help="save raw model-domain outputs (e.g. 513-bin STFT for the stft "
         "variant, for direct Griffin-Lim) instead of mel projections",
     )
+    ap.add_argument(
+        "--seq_devices",
+        type=int,
+        default=0,
+        help="time-shard each utterance over N devices (sequence-parallel "
+        "SPGenerator; for utterances beyond one chip's memory)",
+    )
     args = ap.parse_args(argv)
     apply_platform(args)
 
@@ -80,6 +126,8 @@ def main(argv=None):
         from autovc_tpu.convert import WavConverter
 
         converter = WavConverter(model, params, stats, cfg)
+    elif args.seq_devices > 1:
+        converter = _SeqParallelConverter(params, stats, cfg, args.seq_devices)
     else:
         converter = Converter(model, params, stats, cfg)
 

@@ -39,9 +39,16 @@ def bucket_length(t: int, base: int = 32, bucket: int = 256) -> int:
 
 
 class Converter:
-    """Stateful wrapper holding the jitted conversion function per shape."""
+    """Stateful wrapper holding the jitted conversion function per shape.
 
-    def __init__(self, model, params, batch_stats, cfg: Config, use_buckets: bool = True):
+    use_buckets=False (default) pads exactly like the reference (to a
+    multiple of freq, conversion.py:40-44) — bit-faithful outputs, one
+    compiled program per distinct padded length. use_buckets=True pads to
+    coarse buckets instead: bounded compile count for serving throughput, at
+    the cost of slightly different BLSTM edge context in the padded tail.
+    """
+
+    def __init__(self, model, params, batch_stats, cfg: Config, use_buckets: bool = False):
         self.model = model
         self.variables = {"params": params, "batch_stats": batch_stats}
         self.cfg = cfg
@@ -92,15 +99,17 @@ class Converter:
     def convert_batch(
         self, specs: Sequence[ConversionSpec], batch_size: int = 8, to_mel: bool = True
     ) -> list[np.ndarray]:
-        """Batched conversion: specs grouped by bucketed length and run
-        `batch_size` at a time through one compiled program per bucket —
+        """Batched conversion: specs grouped by padded length and run
+        `batch_size` at a time through one compiled program per length —
         the throughput path for all-pairs matrices (one device fills its MXU
-        with B utterances instead of B sequential singles)."""
+        with B utterances instead of B sequential singles). Groups use the
+        reference-faithful pad-to-freq length (bucket coarsening only when
+        the Converter was built with use_buckets=True)."""
         base = self.cfg.model.freq
         prepared = []
         for i, s in enumerate(specs):
             x, len_pad = pad_seq(s.src_features, base=base)
-            tb = bucket_length(x.shape[0], base)
+            tb = bucket_length(x.shape[0], base) if self.use_buckets else x.shape[0]
             prepared.append((i, s, x, len_pad, tb))
 
         results: list[np.ndarray | None] = [None] * len(specs)

@@ -44,8 +44,10 @@ class SPGenerator:
     """
 
     def __init__(self, params, batch_stats, cfg: ModelConfig, mesh: Mesh, axis: str = "seq"):
-        self.p = params
-        self.s = batch_stats
+        # replicate over the mesh (restored checkpoints arrive pinned to one device)
+        rep = NamedSharding(mesh, P())
+        self.p = jax.device_put(params, rep)
+        self.s = jax.device_put(batch_stats, rep)
         self.cfg = cfg
         self.mesh = mesh
         self.axis = axis
