@@ -148,7 +148,7 @@ def main(argv=None):
 
         results = [(str(s.conversion_id), converter.convert(s)) for s in specs]
         save_results(out_path, results)
-    elif args.all_pairs and args.model_type != "wav":
+    elif args.all_pairs and args.model_type != "wav" and args.seq_devices <= 1:
         # batched path: one compiled program per length bucket fills the MXU
         from autovc_tpu.data.manifest import save_results
 

@@ -37,7 +37,13 @@ def main(argv=None):
     ap.add_argument("--main_dir", required=True)
     ap.add_argument("--batch_size", type=int, default=2)
     ap.add_argument("--num_iters", type=int, default=10_000_000)
-    ap.add_argument("--len_crop", type=int, default=128)
+    ap.add_argument(
+        "--len_crop",
+        type=int,
+        default=None,
+        help="sequence crop: 128 frames for spmel/stft (default); "
+        "(127*256)+1024=33536 samples for wav (auto-selected; main.py:59)",
+    )
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--model_type", default="spmel", choices=["spmel", "stft", "wav"])
     ap.add_argument("--run_name", required=True)
@@ -65,6 +71,11 @@ def main(argv=None):
         import jax
 
         jax.distributed.initialize()  # coordinator/topology from TPU metadata
+
+    if args.len_crop is None:
+        from autovc_tpu.config import wav_len_crop
+
+        args.len_crop = wav_len_crop(AudioConfig()) if args.model_type == "wav" else 128
 
     run_name = args.run_name
     if not args.resume:

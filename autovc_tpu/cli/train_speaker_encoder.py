@@ -2,7 +2,7 @@
 
 Removes the reference's hard dependency on the externally-downloaded
 3000000-BL.ckpt (make_metadata.py:43): train a DVector on the corpus's spmel
-features and feed the .npz to make_metadata via --ge2e_npz.
+features and feed the .npz to make_metadata via --dvector_ckpt ge2e.npz.
 
 Usage: python -m autovc_tpu.cli.train_speaker_encoder --main_dir DIR
            [--num_iters N] [--n_speakers 4] [--m_utts 5] [--out ge2e.npz]

@@ -10,41 +10,62 @@ from typing import Iterator
 
 import jax
 
+_END = object()  # end-of-stream sentinel
+
 
 class DevicePrefetcher:
     """Wraps a host batch iterator; a background thread device_puts `depth`
-    batches ahead with the given sharding(s)."""
+    batches ahead with the given sharding(s).
+
+    Exceptions from the wrapped iterator are forwarded to the consumer (one
+    per occurrence) and the worker keeps pulling, so a consumer that retries
+    `next()` keeps getting fresh batches. Iterator exhaustion raises
+    StopIteration at the consumer.
+    """
 
     def __init__(self, it: Iterator, sharding, depth: int = 2):
-        self._it = it
+        self._it = iter(it)
         self._sharding = sharding
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
+    def _put(self, item) -> bool:
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _worker(self):
-        try:
-            for batch in self._it:
-                if self._stop.is_set():
+        while not self._stop.is_set():
+            try:
+                batch = next(self._it)
+            except StopIteration:
+                self._put(_END)
+                return
+            except Exception as exc:  # forward and keep serving
+                if not self._put(exc):
                     return
-                put = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, self._sharding), tuple(batch)
-                )
-                while not self._stop.is_set():
-                    try:
-                        self._q.put(put, timeout=0.5)
-                        break
-                    except queue.Full:
-                        continue
-        except Exception as exc:  # surface worker errors to the consumer
-            self._q.put(exc)
+                continue
+            from autovc_tpu.parallel.mesh import put_global_batch
+
+            put = jax.tree_util.tree_map(
+                lambda x: put_global_batch(x, self._sharding), tuple(batch)
+            )
+            if not self._put(put):
+                return
 
     def __iter__(self):
         return self
 
     def __next__(self):
         item = self._q.get()
+        if item is _END:
+            raise StopIteration
         if isinstance(item, Exception):
             raise item
         return item

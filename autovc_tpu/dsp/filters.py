@@ -112,6 +112,11 @@ def filtfilt(
         padlen = 3 * max(len(a), len(b))
     zi = lfilter_zi(b, a)
     x = jnp.asarray(x)
+    if x.shape[-1] <= padlen:  # scipy raises here too; numpy slicing would
+        # otherwise clamp silently and return garbage
+        raise ValueError(
+            f"input length {x.shape[-1]} must exceed padlen {padlen}"
+        )
     return _filtfilt_jit(
         jnp.asarray(b, x.dtype), jnp.asarray(a, x.dtype), jnp.asarray(zi, x.dtype), x, padlen
     )
@@ -177,6 +182,10 @@ def sos_filtfilt(sos: np.ndarray, x: jax.Array, padlen: int | None = None) -> ja
         padlen = 3 * (2 * len(sos) + 1 - min((sos[:, 2] == 0).sum(), (sos[:, 5] == 0).sum()))
     zi = _scipy_signal.sosfilt_zi(sos)  # (n_sections, 2), host float64
     x = jnp.asarray(x)
+    if x.shape[-1] <= padlen:
+        raise ValueError(
+            f"input length {x.shape[-1]} must exceed padlen {padlen}"
+        )
     return _sos_filtfilt_jit(
         jnp.asarray(sos, x.dtype),
         jnp.asarray(zi, x.dtype),

@@ -104,3 +104,16 @@ def shard_batch(batch, mesh: Mesh):
     """Device-put a host batch with the leading axis split over 'data'."""
     sh = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def put_global_batch(x, sharding):
+    """Place a (possibly host-local) batch shard with a global sharding.
+
+    Single-process: plain device_put. Multi-process (TPU pods): the array on
+    this host is only its B/H-row shard of the global batch, so it must be
+    assembled with make_array_from_process_local_data — a bare device_put
+    would reinterpret the local shard as the whole global array.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, x)

@@ -27,6 +27,7 @@ from autovc_tpu.parallel import (
     param_shardings,
     replicated,
 )
+from autovc_tpu.parallel.mesh import put_global_batch
 from autovc_tpu.train.metrics import MetricsLogger
 from autovc_tpu.train.schedule import ReduceLROnPlateau
 from autovc_tpu.train.state import TrainState, init_ema
@@ -189,19 +190,28 @@ class Solver:
                     raise
                 print(f"[solver] data error ({exc}); retry {data_failures}/3")
                 continue
-            if prefetcher is None:  # prefetcher already device_put with bsh
-                x = jax.device_put(jnp.asarray(x), bsh)
-                emb = jax.device_put(jnp.asarray(emb), bsh)
+            if prefetcher is None:  # prefetcher already sharded the batch
+                x = put_global_batch(jnp.asarray(x), bsh)
+                emb = put_global_batch(jnp.asarray(emb), bsh)
             self.state, m = self._step_fn(self.state, x, emb, lr_scale)
             i += 1
 
-            if i % cfg.train.log_step == 0 and not np.isfinite(float(m["g_loss"])):
-                print(f"[solver] NON-FINITE loss at step {i}; emergency checkpoint")
-                self.save(i)
-                raise FloatingPointError(f"non-finite loss at step {i}")
-
-            if self.plateau is not None:
-                lr_scale = jnp.asarray(self.plateau.step(float(m["g_loss"])), jnp.float32)
+            # host syncs (loss fetch) only at log_step boundaries so the
+            # dispatch pipeline stays async between them; the plateau
+            # controller's patience granularity becomes log_step
+            if i % cfg.train.log_step == 0:
+                loss_val = float(m["g_loss"])
+                if not np.isfinite(loss_val):
+                    # do NOT checkpoint — the params already absorbed the
+                    # non-finite update; the latest PERIODIC checkpoint is
+                    # the last good state to resume from
+                    latest = self.ckptr.latest_step()
+                    raise FloatingPointError(
+                        f"non-finite loss at step {i}; resume from the last "
+                        f"good checkpoint (step {latest})"
+                    )
+                if self.plateau is not None:
+                    lr_scale = jnp.asarray(self.plateau.step(loss_val), jnp.float32)
 
             if i % cfg.train.log_step == 0:
                 last_metrics = {k: float(v) for k, v in m.items()}
@@ -212,7 +222,15 @@ class Solver:
                     recon = self._recon(x, emb)
                     self.metrics.log_spectrogram_pair(i, x[0], recon[0])
             if i % cfg.train.checkpoint_step == 0:
-                self.save(i)
+                # never persist a non-finite state (would poison auto-resume)
+                if np.isfinite(float(m["g_loss"])):
+                    self.save(i)
+                else:
+                    latest = self.ckptr.latest_step()
+                    raise FloatingPointError(
+                        f"non-finite loss at checkpoint step {i}; last good "
+                        f"checkpoint is step {latest}"
+                    )
         if prefetcher is not None:
             prefetcher.close()
         for sig, h in old_handlers.items():

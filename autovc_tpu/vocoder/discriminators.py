@@ -15,7 +15,7 @@ from flax import linen as nn
 
 
 def _leaky(x, slope=0.1):
-    return jnp.where(x >= 0, x, slope * x)
+    return jax.nn.leaky_relu(x, negative_slope=slope)
 
 
 class PeriodDiscriminator(nn.Module):

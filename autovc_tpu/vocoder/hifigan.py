@@ -26,7 +26,7 @@ from autovc_tpu.models.layers import ConvTranspose1d
 
 
 def _leaky(x, slope):
-    return jnp.where(x >= 0, x, slope * x)
+    return jax.nn.leaky_relu(x, negative_slope=slope)
 
 
 class ResBlock1(nn.Module):

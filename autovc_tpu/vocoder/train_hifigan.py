@@ -208,6 +208,12 @@ def hifigan_crop_batch(wavs, mels, batch_size, frames, hop, rng):
         w, m = wavs[i], mels[i]
         max_f = min(m.shape[0], w.shape[0] // hop) - frames
         f0 = int(rng.integers(0, max(1, max_f)))
-        ms.append(m[f0 : f0 + frames])
-        ys.append(w[f0 * hop : (f0 + frames) * hop])
+        xm = m[f0 : f0 + frames]
+        xw = w[f0 * hop : (f0 + frames) * hop]
+        if xm.shape[0] < frames:  # utterance shorter than the crop window
+            xm = np.pad(xm, ((0, frames - xm.shape[0]), (0, 0)))
+        if xw.shape[0] < frames * hop:
+            xw = np.pad(xw, (0, frames * hop - xw.shape[0]))
+        ms.append(xm)
+        ys.append(xw)
     return np.stack(ms).astype(np.float32), np.stack(ys).astype(np.float32)

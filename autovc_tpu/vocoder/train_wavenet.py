@@ -56,8 +56,14 @@ def crop_batch(
         w, m = wavs[i], mels[i]
         max_f = min(m.shape[0], w.shape[0] // hop) - frames
         f0 = int(rng.integers(0, max(1, max_f)))
-        xs.append(w[f0 * hop : f0 * hop + max_time])
-        cs.append(m[f0 : f0 + frames])
+        xw = w[f0 * hop : f0 * hop + max_time]
+        xm = m[f0 : f0 + frames]
+        if xw.shape[0] < max_time:  # utterance shorter than the crop window
+            xw = np.pad(xw, (0, max_time - xw.shape[0]))
+        if xm.shape[0] < frames:
+            xm = np.pad(xm, ((0, frames - xm.shape[0]), (0, 0)))
+        xs.append(xw)
+        cs.append(xm)
     return (
         np.stack(xs).astype(np.float32)[..., None],
         np.stack(cs).astype(np.float32),

@@ -209,24 +209,6 @@ def test_prefetcher_preserves_stream(tmp_path, spmel_iter):
     pf.close()
 
 
-def test_nonfinite_loss_aborts_with_emergency_checkpoint(tmp_path, spmel_iter):
-    class NaNIter:
-        def __iter__(self):
-            return self
-
-        def __next__(self):
-            x = np.full((2, LEN_CROP, 80), np.nan, np.float32)
-            return x, np.zeros((2, 256), np.float32)
-
-    cfg = tiny_cfg(tmp_path, log_step=1)
-    solver = Solver(cfg, spmel_iter(), run_dir=str(tmp_path / "nanrun"))
-    solver.data_iter = NaNIter()
-    with pytest.raises(FloatingPointError):
-        solver.train(num_iters=3, prefetch=0)
-    solver.ckptr.wait_until_finished()
-    assert solver.ckptr.latest_step() is not None  # emergency checkpoint saved
-
-
 def test_transient_data_errors_are_retried(tmp_path, spmel_iter):
     good = spmel_iter()
 
@@ -248,3 +230,105 @@ def test_transient_data_errors_are_retried(tmp_path, spmel_iter):
     solver.data_iter = FlakyIter()
     solver.train(num_iters=3, prefetch=0)
     assert int(solver.state.step) == 3
+
+
+def test_prefetcher_forwards_errors_and_continues(spmel_iter):
+    """A transient iterator error surfaces once; subsequent next() calls
+    keep delivering fresh batches (no permanent worker death)."""
+    from autovc_tpu.data.prefetch import DevicePrefetcher
+    from autovc_tpu.parallel import make_mesh, batch_sharding
+
+    good = spmel_iter(seed=11)
+
+    class Flaky:
+        def __init__(self):
+            self.n = 0
+
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            self.n += 1
+            if self.n == 2:
+                raise OSError("transient")
+            return next(good)
+
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    pf = DevicePrefetcher(Flaky(), batch_sharding(mesh), depth=1)
+    got, errs = 0, 0
+    for _ in range(5):
+        try:
+            next(pf)
+            got += 1
+        except OSError:
+            errs += 1
+    assert errs == 1 and got == 4
+    pf.close()
+
+
+def test_prefetcher_signals_end_of_stream(spmel_iter):
+    from autovc_tpu.data.prefetch import DevicePrefetcher
+    from autovc_tpu.parallel import make_mesh, batch_sharding
+
+    class Finite:
+        def __init__(self, inner, n):
+            self.inner, self.left = inner, n
+
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            if self.left == 0:
+                raise StopIteration
+            self.left -= 1
+            return next(self.inner)
+
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    pf = DevicePrefetcher(Finite(spmel_iter(seed=12), 3), batch_sharding(mesh))
+    out = list(pf)
+    assert len(out) == 3
+    pf.close()
+
+
+def test_nonfinite_loss_does_not_checkpoint_poisoned_state(tmp_path, spmel_iter):
+    """NaN loss aborts WITHOUT writing a checkpoint (the params already
+    absorbed the bad update; resume must come from the last good save)."""
+
+    class NaNIter:
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            x = np.full((2, LEN_CROP, 80), np.nan, np.float32)
+            return x, np.zeros((2, 256), np.float32)
+
+    cfg = tiny_cfg(tmp_path, log_step=1)
+    solver = Solver(cfg, spmel_iter(), run_dir=str(tmp_path / "nan2"))
+    solver.data_iter = NaNIter()
+    with pytest.raises(FloatingPointError):
+        solver.train(num_iters=3, prefetch=0)
+    solver.ckptr.wait_until_finished()
+    assert solver.ckptr.latest_step() is None  # nothing poisoned was saved
+
+
+def test_short_crop_batches_are_padded():
+    from autovc_tpu.vocoder.train_wavenet import crop_batch
+    from autovc_tpu.vocoder.train_hifigan import hifigan_crop_batch
+
+    rng = np.random.default_rng(0)
+    w = [np.ones(1000, np.float32)]  # shorter than the 2048-sample crop
+    m = [np.ones((4, 80), np.float32)]
+    x, c = crop_batch(w, m, batch_size=2, max_time=2048, hop=256, rng=rng)
+    assert x.shape == (2, 2048, 1) and c.shape == (2, 8, 80)
+    mm, yy = hifigan_crop_batch(w, m, 2, frames=8, hop=256, rng=rng)
+    assert mm.shape == (2, 8, 80) and yy.shape == (2, 2048)
+
+
+def test_filtfilt_rejects_short_input():
+    from autovc_tpu.dsp import butter_highpass, butter_highpass_sos, filtfilt, sos_filtfilt
+
+    b, a = butter_highpass()
+    with pytest.raises(ValueError):
+        filtfilt(b, a, jnp.zeros(10))
+    with pytest.raises(ValueError):
+        sos_filtfilt(butter_highpass_sos(), jnp.zeros(10))
