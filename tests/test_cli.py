@@ -1,0 +1,93 @@
+"""CLI integration tests: the five user-facing entry points exercised on a
+tiny 2-speaker corpus built from the bundled reference wavs (the reference's
+de-facto verification strategy — SURVEY §4.1 — automated)."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_corpus(reference_dir, tmp_path_factory):
+    """2 speakers x 2 utterances."""
+    root = tmp_path_factory.mktemp("corpus")
+    for spk in ("p225", "p228"):
+        d = root / "wavs" / spk
+        d.mkdir(parents=True)
+        src = os.path.join(reference_dir, "wavs", spk)
+        for f in sorted(os.listdir(src))[:2]:
+            shutil.copy(os.path.join(src, f), d / f)
+    shutil.copy(os.path.join(reference_dir, "speaker_info.txt"), root / "speaker_info.txt")
+    return str(root)
+
+
+def test_make_spect_cli(tiny_corpus):
+    from autovc_tpu.cli.make_spect import main
+
+    main(["--platform", "cpu", "--main_dir", tiny_corpus])
+    out = os.path.join(tiny_corpus, "spmel", "p225")
+    files = [f for f in os.listdir(out) if f.endswith(".npy")]
+    assert len(files) == 2
+    a = np.load(os.path.join(out, files[0]))
+    assert a.shape[1] == 80 and a.dtype == np.float32
+
+
+def test_make_metadata_cli_one_hot(tiny_corpus):
+    from autovc_tpu.cli.make_metadata import main
+    from autovc_tpu.data.manifest import load_conversion_metadata, load_train_manifest
+
+    main(["--platform", "cpu", "--main_dir", tiny_corpus, "--one_hot", "--dim_emb", "8"])
+    entries = load_train_manifest(os.path.join(tiny_corpus, "spmel", "train.pkl"))
+    assert len(entries) == 2
+    assert entries[0].embedding.shape == (8,)
+    specs = load_conversion_metadata(os.path.join(tiny_corpus, "spmel", "metadata.pkl"))
+    assert specs and specs[0].src_features.shape[1] == 80
+    assert os.path.exists(os.path.join(tiny_corpus, "spmel", "metadata.log"))
+
+
+def test_train_convert_synthesize_evaluate_cli(tiny_corpus, capsys):
+    from autovc_tpu.cli.convert import main as convert_main
+    from autovc_tpu.cli.evaluate import main as evaluate_main
+    from autovc_tpu.cli.synthesize import main as synthesize_main
+    from autovc_tpu.cli.train import main as train_main
+
+    train_main(
+        [
+            "--platform", "cpu", "--main_dir", tiny_corpus, "--run_name", "t",
+            "--num_iters", "2", "--log_step", "1", "--checkpoint_step", "2",
+            "--len_crop", "64", "--dim_emb", "8",
+        ]
+    )
+    run_dir = os.path.join(tiny_corpus, "runs", sorted(os.listdir(os.path.join(tiny_corpus, "runs")))[0])
+
+    convert_main(["--platform", "cpu", "--main_dir", tiny_corpus, "--run_dir", run_dir])
+    results = [f for f in os.listdir(os.path.join(tiny_corpus, "spmel")) if f.startswith("results_")]
+    assert results
+
+    out_dir = os.path.join(tiny_corpus, "out")
+    synthesize_main(
+        [
+            "--platform", "cpu",
+            "--results", os.path.join(tiny_corpus, "spmel", results[0]),
+            "--out_dir", out_dir, "--gl_iters", "4",
+        ]
+    )
+    wavs = [f for f in os.listdir(out_dir) if f.endswith(".wav")]
+    assert wavs and os.path.exists(os.path.join(out_dir, "readme.md"))
+
+    report = evaluate_main(
+        ["--platform", "cpu", "--main_dir", tiny_corpus, "--run_dir", run_dir, "--max_utts", "2"]
+    )
+    assert report["utterances"] == 2 and np.isfinite(report["recon_l1_mean"])
+
+
+def test_visualize_cli(tiny_corpus, tmp_path):
+    from autovc_tpu.cli.visualize import main
+
+    feat = os.path.join(tiny_corpus, "spmel", "p225")
+    npy = os.path.join(feat, sorted(os.listdir(feat))[0])
+    main([npy, "--out_dir", str(tmp_path)])
+    assert list(tmp_path.glob("*.png"))
