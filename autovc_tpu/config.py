@@ -72,9 +72,9 @@ class ModelConfig:
     postnet_channels: int = 512
     # compute dtype for matmul-heavy paths; params stay float32
     compute_dtype: str = "float32"
-    # Pallas fused LSTM kernel (inference-only: no custom VJP yet). On the
-    # tunneled-AOT TPU environment it compiles ~500x faster than the XLA scan
-    # at equal runtime — big win for conversion-time compiles.
+    # Pallas fused LSTM kernels (forward + custom-VJP backward). On the
+    # tunneled-AOT TPU environment they compile ~500x faster than the XLA
+    # scan at equal runtime — big win for conversion/training compiles.
     use_pallas_lstm: bool = False
 
     @property

@@ -121,3 +121,85 @@ def test_pallas_lstm_chunked_matches_unchunked():
     a = lstm_sequence(xproj, w_hh, interpret=True, chunk=16)
     b_ = lstm_sequence(xproj, w_hh, interpret=True, chunk=1000)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-6)
+
+
+def test_pallas_lstm_gradients_match_scan():
+    """Custom-VJP backward == jax.grad through the scan reference, for
+    grads w.r.t. x-projections AND the recurrent weights, across chunk
+    boundaries (chunk=8 < T)."""
+    from autovc_tpu.models.layers import _lstm_scan
+    from autovc_tpu.ops.pallas_lstm import _lstm_sequence
+
+    rng = np.random.RandomState(7)
+    b, t, h = 8, 20, 32
+    xproj = jnp.asarray(rng.randn(b, t, 4 * h) * 0.3, jnp.float32)
+    w_hh = jnp.asarray(rng.randn(h, 4 * h) * 0.2, jnp.float32)
+    cot = jnp.asarray(rng.randn(b, t, h), jnp.float32)
+
+    def ref_loss(xp, w):
+        out = _lstm_scan(xp, w, jnp.zeros((b, h)), jnp.zeros((b, h)), False)
+        return jnp.sum(out * cot)
+
+    def pallas_loss(xp, w):
+        out = _lstm_sequence(xp, w, reverse=False, interpret=True, chunk=8)
+        return jnp.sum(out * cot)
+
+    ref_dx, ref_dw = jax.grad(ref_loss, argnums=(0, 1))(xproj, w_hh)
+    out_dx, out_dw = jax.grad(pallas_loss, argnums=(0, 1))(xproj, w_hh)
+    np.testing.assert_allclose(np.asarray(out_dx), np.asarray(ref_dx), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_dw), np.asarray(ref_dw), atol=2e-4)
+
+
+def test_pallas_lstm_reverse_gradients():
+    from autovc_tpu.models.layers import _lstm_scan
+    from autovc_tpu.ops.pallas_lstm import _lstm_sequence
+
+    rng = np.random.RandomState(8)
+    b, t, h = 8, 12, 16
+    xproj = jnp.asarray(rng.randn(b, t, 4 * h) * 0.3, jnp.float32)
+    w_hh = jnp.asarray(rng.randn(h, 4 * h) * 0.2, jnp.float32)
+
+    def ref_loss(xp):
+        return jnp.sum(
+            _lstm_scan(xp, w_hh, jnp.zeros((b, h)), jnp.zeros((b, h)), True) ** 2
+        )
+
+    def pallas_loss(xp):
+        return jnp.sum(_lstm_sequence(xp, w_hh, reverse=True, interpret=True) ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(pallas_loss)(xproj)),
+        np.asarray(jax.grad(ref_loss)(xproj)),
+        atol=2e-5,
+    )
+
+
+def test_layers_lstm_pallas_trainable():
+    """The flax LSTM with use_pallas=True produces the same parameter
+    gradients as the scan path (the custom VJP makes pallas trainable)."""
+    from autovc_tpu.models.layers import LSTM
+
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(2, 24, 16), jnp.float32)
+    ref_model = LSTM(hidden=32, num_layers=2, bidirectional=True)
+    variables = ref_model.init(jax.random.PRNGKey(1), x)
+    fast_model = LSTM(hidden=32, num_layers=2, bidirectional=True, use_pallas=True)
+
+    def loss(model, p):
+        return jnp.sum(model.apply({"params": p}, x) ** 2)
+
+    g_ref = jax.grad(lambda p: loss(ref_model, p))(variables["params"])
+    g_fast = jax.grad(lambda p: loss(fast_model, p))(variables["params"])
+
+    def flat(tree):
+        return {
+            "/".join(str(p) for p in path): leaf
+            for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
+        }
+
+    fr, ff = flat(g_ref), flat(g_fast)
+    assert fr.keys() == ff.keys()
+    for k in fr:
+        np.testing.assert_allclose(
+            np.asarray(ff[k]), np.asarray(fr[k]), atol=5e-4, err_msg=k
+        )
