@@ -63,6 +63,11 @@ def main(argv=None):
         "shard of the global batch",
     )
     ap.add_argument("--bf16", action="store_true", help="bfloat16 compute (MXU-native)")
+    ap.add_argument(
+        "--pallas", action="store_true",
+        help="Pallas fused LSTM kernels (forward + custom-VJP backward; "
+        "much faster TPU compiles at equal step time)",
+    )
     ap.add_argument("--wandb", action="store_true")
     args = ap.parse_args(argv)
     apply_platform(args)
@@ -91,6 +96,7 @@ def main(argv=None):
             freq=args.freq,
             convtas_depth=args.depth,
             compute_dtype="bfloat16" if args.bf16 else "float32",
+            use_pallas_lstm=args.pallas,
         ),
         train=TrainConfig(
             lambda_cd=args.lambda_cd,
