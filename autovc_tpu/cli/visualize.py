@@ -60,10 +60,14 @@ def plot_features(path: str, out_dir: str, arr: np.ndarray | None = None, tag=No
 
 
 def main(argv=None):
+    from autovc_tpu.cli._common import add_platform_arg, apply_platform
+
     ap = argparse.ArgumentParser(description=__doc__)
+    add_platform_arg(ap)
     ap.add_argument("paths", nargs="+", help=".npy features or .pkl manifests")
     ap.add_argument("--out_dir", default=".")
     args = ap.parse_args(argv)
+    apply_platform(args)
     os.makedirs(args.out_dir, exist_ok=True)
 
     for p in args.paths:

@@ -177,9 +177,10 @@ class LSTM(nn.Module):
                     compute_dtype
                 )
                 # pallas path: only where the full weight block fits VMEM
-                # comfortably (H <= 512 at f32); larger LSTMs keep the scan
+                # comfortably INCLUDING the backward pass (w_hh + same-size
+                # dW scratch), i.e. w_hh <= 4MB -> H <= 512 at f32
                 use_pallas_here = (
-                    self.use_pallas and self.hidden * 4 * self.hidden * 4 <= 8 * 1024 * 1024
+                    self.use_pallas and self.hidden * 4 * self.hidden * 4 <= 4 * 1024 * 1024
                 )
                 if use_pallas_here:
                     from autovc_tpu.ops.pallas_lstm import lstm_sequence

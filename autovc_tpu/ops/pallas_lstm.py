@@ -38,8 +38,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _lstm_kernel(xproj_ref, w_hh_ref, h0_ref, c0_ref, out_ref, c_out_ref,
+def _cell_step(xproj_t, w_hh, h_prev, c_prev, hidden):
+    """One LSTM cell update in float32 (inputs may be bf16)."""
+    gates = xproj_t.astype(jnp.float32) + jnp.dot(
+        h_prev, w_hh, preferred_element_type=jnp.float32
+    )  # (B, 4H)
+    i_g = gates[:, :hidden]
+    f_g = gates[:, hidden : 2 * hidden]
+    g_g = gates[:, 2 * hidden : 3 * hidden]
+    o_g = gates[:, 3 * hidden :]
+    c = jax.nn.sigmoid(f_g) * c_prev + jax.nn.sigmoid(i_g) * jnp.tanh(g_g)
+    h = jax.nn.sigmoid(o_g) * jnp.tanh(c)
+    return h, c
+
+
+def _lstm_kernel(xproj_ref, w_hh_ref, h0_ref, c0_ref, out_ref,
                  hn_ref, cn_ref, h_scratch, c_scratch, *, hidden):
+    """Inference forward: no cell-state residual output."""
     t = pl.program_id(0)
     nt = pl.num_programs(0)
 
@@ -48,19 +63,35 @@ def _lstm_kernel(xproj_ref, w_hh_ref, h0_ref, c0_ref, out_ref, c_out_ref,
         h_scratch[:] = h0_ref[:]
         c_scratch[:] = c0_ref[:]
 
-    gates = xproj_ref[0] + jnp.dot(
-        h_scratch[:], w_hh_ref[:], preferred_element_type=jnp.float32
-    )  # (B, 4H)
-    i_g = gates[:, :hidden]
-    f_g = gates[:, hidden : 2 * hidden]
-    g_g = gates[:, 2 * hidden : 3 * hidden]
-    o_g = gates[:, 3 * hidden :]
-    c = jax.nn.sigmoid(f_g) * c_scratch[:] + jax.nn.sigmoid(i_g) * jnp.tanh(g_g)
-    h = jax.nn.sigmoid(o_g) * jnp.tanh(c)
+    h, c = _cell_step(xproj_ref[0], w_hh_ref[:], h_scratch[:], c_scratch[:], hidden)
     c_scratch[:] = c
     h_scratch[:] = h
-    out_ref[0] = h
-    c_out_ref[0] = c  # cell-state sequence: residual for the custom VJP
+    out_ref[0] = h.astype(out_ref.dtype)
+
+    @pl.when(t == nt - 1)
+    def _final():
+        hn_ref[:] = h
+        cn_ref[:] = c
+
+
+def _lstm_kernel_train(xproj_ref, w_hh_ref, h0_ref, c0_ref, out_ref, c_out_ref,
+                       hn_ref, cn_ref, h_scratch, c_scratch, *, hidden):
+    """Training forward: additionally streams the cell-state sequence (the
+    custom-VJP residual). Kept separate so pure inference doesn't pay the
+    extra VMEM->HBM output traffic (a pallas_call output can't be DCE'd)."""
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _init():
+        h_scratch[:] = h0_ref[:]
+        c_scratch[:] = c0_ref[:]
+
+    h, c = _cell_step(xproj_ref[0], w_hh_ref[:], h_scratch[:], c_scratch[:], hidden)
+    c_scratch[:] = c
+    h_scratch[:] = h
+    out_ref[0] = h.astype(out_ref.dtype)
+    c_out_ref[0] = c
 
     @pl.when(t == nt - 1)
     def _final():
@@ -93,7 +124,7 @@ def _lstm_kernel_split(xproj_ref, w_hh_ref, h0_ref, c0_ref, out_ref, hn_ref, cn_
         h = jax.nn.sigmoid(o_g) * jnp.tanh(c)
         c_scratch[:] = c
         h_scratch[:] = h
-        out_ref[0] = h
+        out_ref[0] = h.astype(out_ref.dtype)
 
         @pl.when(t == nt - 1)
         def _final():
@@ -101,7 +132,26 @@ def _lstm_kernel_split(xproj_ref, w_hh_ref, h0_ref, c0_ref, out_ref, hn_ref, cn_
             cn_ref[:] = c
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _lstm_chunk_split(xproj_t, w_hh, h0, c0, interpret: bool):
+    """Gate-split chunk for large hidden sizes (w_hh too big for a single
+    VMEM-resident block). Inference-only: its custom VJP raises a clear
+    error (use the XLA scan path for training at these sizes)."""
+    return _lstm_chunk_split_impl(xproj_t, w_hh, h0, c0, interpret)
+
+
+def _split_fwd_rule(xproj_t, w_hh, h0, c0, interpret):
+    raise NotImplementedError(
+        "gate-split pallas LSTM (w_hh > 8MB) has no backward pass; use the "
+        "XLA scan path (use_pallas=False) for training at this hidden size"
+    )
+
+
+def _split_bwd_rule(interpret, residuals, cotangents):  # pragma: no cover
+    raise NotImplementedError
+
+
+def _lstm_chunk_split_impl(xproj_t, w_hh, h0, c0, interpret: bool):
     """Gate-split chunk for large hidden sizes. Reshapes the gate axis into a
     leading block dim so BlockSpecs can tile it."""
     tc, b, h4 = xproj_t.shape
@@ -138,31 +188,37 @@ def _lstm_chunk_split(xproj_t, w_hh, h0, c0, interpret: bool):
     )(xg, wg, h0, c0)
 
 
-def _chunk_fwd(xproj_t, w_hh, h0, c0, interpret: bool):
-    """One chunk: (Tc, B, 4H) -> (h_seq (Tc,B,H), c_seq (Tc,B,H), hN, cN)."""
+def _chunk_fwd(xproj_t, w_hh, h0, c0, interpret: bool, with_residual: bool):
+    """One chunk: (Tc, B, 4H) -> (h_seq, [c_seq,] hN, cN).
+
+    with_residual=True additionally streams the cell-state sequence (needed
+    by the backward pass); inference skips it to halve output traffic.
+    """
     tc, b, h4 = xproj_t.shape
     hidden = h4 // 4
+    stream = pl.BlockSpec((1, b, hidden), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    const = pl.BlockSpec((b, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out_specs = [stream] + ([stream] if with_residual else []) + [const, const]
+    out_shape = (
+        [jax.ShapeDtypeStruct((tc, b, hidden), xproj_t.dtype)]
+        + ([jax.ShapeDtypeStruct((tc, b, hidden), jnp.float32)] if with_residual else [])
+        + [
+            jax.ShapeDtypeStruct((b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((b, hidden), jnp.float32),
+        ]
+    )
+    kernel = _lstm_kernel_train if with_residual else _lstm_kernel
     return pl.pallas_call(
-        functools.partial(_lstm_kernel, hidden=hidden),
+        functools.partial(kernel, hidden=hidden),
         grid=(tc,),
         in_specs=[
             pl.BlockSpec((1, b, h4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden, h4), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            const,
+            const,
         ],
-        out_specs=(
-            pl.BlockSpec((1, b, hidden), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, hidden), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((tc, b, hidden), xproj_t.dtype),
-            jax.ShapeDtypeStruct((tc, b, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((b, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((b, hidden), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((b, hidden), jnp.float32),
             pltpu.VMEM((b, hidden), jnp.float32),
@@ -207,7 +263,7 @@ def _lstm_bwd_kernel(
     df = dc * cprev_ref[0] * sf * (1.0 - sf)
     dgates = jnp.concatenate([di, df, dg, do], axis=-1)  # (B, 4H)
 
-    dx_ref[0] = dgates
+    dx_ref[0] = dgates.astype(dx_ref.dtype)
     dw_s[:] += jax.lax.dot_general(
         hprev, dgates, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # (H, 4H)
@@ -267,13 +323,16 @@ def _chunk_bwd_call(xproj_t, w_hh, h0, c0, h_seq, c_seq, dy, dhn, dcn, interpret
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _lstm_chunk(xproj_t, w_hh, h0, c0, interpret: bool):
-    """Differentiable fused LSTM chunk: (Tc,B,4H) -> (h_seq, hN, cN)."""
-    out, _, hn, cn = _chunk_fwd(xproj_t, w_hh, h0, c0, interpret)
+    """Differentiable fused LSTM chunk: (Tc,B,4H) -> (h_seq, hN, cN).
+
+    The primal (inference) path skips the cell-state residual output; only
+    the VJP forward rule pays for it."""
+    out, hn, cn = _chunk_fwd(xproj_t, w_hh, h0, c0, interpret, with_residual=False)
     return out, hn, cn
 
 
 def _lstm_chunk_fwd_rule(xproj_t, w_hh, h0, c0, interpret):
-    out, c_seq, hn, cn = _chunk_fwd(xproj_t, w_hh, h0, c0, interpret)
+    out, c_seq, hn, cn = _chunk_fwd(xproj_t, w_hh, h0, c0, interpret, with_residual=True)
     return (out, hn, cn), (xproj_t, w_hh, h0, c0, out, c_seq)
 
 
@@ -287,6 +346,7 @@ def _lstm_chunk_bwd_rule(interpret, residuals, cotangents):
 
 
 _lstm_chunk.defvjp(_lstm_chunk_fwd_rule, _lstm_chunk_bwd_rule)
+_lstm_chunk_split.defvjp(_split_fwd_rule, _split_bwd_rule)
 
 
 def lstm_sequence(xproj, w_hh, reverse: bool = False, interpret: bool | None = None,

@@ -21,13 +21,17 @@ def tiny_corpus(reference_dir, tmp_path_factory):
         for f in sorted(os.listdir(src))[:2]:
             shutil.copy(os.path.join(src, f), d / f)
     shutil.copy(os.path.join(reference_dir, "speaker_info.txt"), root / "speaker_info.txt")
+    # features extracted here so every test is independently runnable
+    from autovc_tpu.cli.make_spect import main as ms
+
+    ms(["--platform", "cpu", "--main_dir", str(root)])
     return str(root)
 
 
 def test_make_spect_cli(tiny_corpus):
     from autovc_tpu.cli.make_spect import main
 
-    main(["--platform", "cpu", "--main_dir", tiny_corpus])
+    main(["--platform", "cpu", "--main_dir", tiny_corpus])  # idempotent re-run
     out = os.path.join(tiny_corpus, "spmel", "p225")
     files = [f for f in os.listdir(out) if f.endswith(".npy")]
     assert len(files) == 2

@@ -203,3 +203,29 @@ def test_layers_lstm_pallas_trainable():
         np.testing.assert_allclose(
             np.asarray(ff[k]), np.asarray(fr[k]), atol=5e-4, err_msg=k
         )
+
+
+def test_pallas_lstm_bf16_forward_and_grad():
+    """bf16 x-projections work through the fused kernel (stores cast to the
+    ref dtype) and gradients stay finite."""
+    from autovc_tpu.ops.pallas_lstm import _lstm_sequence
+
+    rng = np.random.RandomState(10)
+    b, t, h = 8, 10, 16
+    xproj = jnp.asarray(rng.randn(b, t, 4 * h) * 0.3, jnp.bfloat16)
+    w_hh = jnp.asarray(rng.randn(h, 4 * h) * 0.2, jnp.float32)
+    out = _lstm_sequence(xproj, w_hh, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    g = jax.grad(lambda xp: jnp.sum(_lstm_sequence(xp, w_hh, interpret=True).astype(jnp.float32)))(xproj)
+    assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
+
+
+def test_pallas_split_path_raises_clear_error_under_grad():
+    from autovc_tpu.ops.pallas_lstm import _lstm_chunk_split
+
+    b, t, h = 8, 4, 16
+    xp = jnp.zeros((t, b, 4 * h))
+    w = jnp.zeros((h, 4 * h))
+    z = jnp.zeros((b, h))
+    with pytest.raises(NotImplementedError, match="scan path"):
+        jax.grad(lambda x: jnp.sum(_lstm_chunk_split(x, w, z, z, True)[0]))(xp)
