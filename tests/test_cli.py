@@ -95,3 +95,26 @@ def test_visualize_cli(tiny_corpus, tmp_path):
     npy = os.path.join(feat, sorted(os.listdir(feat))[0])
     main([npy, "--out_dir", str(tmp_path)])
     assert list(tmp_path.glob("*.png"))
+
+
+def test_batched_synthesis_helper():
+    """Batched vocoder call: sorted-by-length grouping, pad, trim — each
+    output equals per-item synthesis of an upsample-by-hop 'vocoder'."""
+    from autovc_tpu.cli.synthesize import batched_synthesis
+
+    hop = 4
+    rng = np.random.default_rng(0)
+    results = [
+        (str(i), rng.normal(size=(t, 3)).astype(np.float32))
+        for i, t in enumerate([7, 3, 5, 3])
+    ]
+
+    def fake_synth(mels):  # (B, T, 3) -> (B, T*hop): repeat frame means
+        b, t, _ = mels.shape
+        return np.repeat(mels.mean(-1), hop, axis=-1).reshape(b, t * hop)
+
+    wavs = batched_synthesis(fake_synth, results, batch=2, hop=hop)
+    for (name, mel), wav in zip(results, wavs):
+        expect = np.repeat(mel.mean(-1), hop)
+        assert wav.shape == expect.shape
+        np.testing.assert_allclose(wav, expect, atol=1e-6)
