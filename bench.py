@@ -41,10 +41,19 @@ def main():
     log(f"devices: {jax.devices()}")
 
     # --- inputs: real p225 features + GE2E embeddings from the bundled corpus
-    feats = np.load("/root/reference/spmel/p225/p225_003.npy")  # (376, 80)
-    entries = load_train_manifest("/root/reference/spmel/train.pkl")
-    emb = {e.speaker_id: e.embedding for e in entries}
-    emb_src, emb_trg = emb["p225"], emb["p228"]
+    # (synthetic fallback keeps the bench runnable anywhere; compute cost is
+    # identical since shapes and weights drive it, not values)
+    try:
+        feats = np.load("/root/reference/spmel/p225/p225_003.npy")  # (376, 80)
+        entries = load_train_manifest("/root/reference/spmel/train.pkl")
+        emb = {e.speaker_id: e.embedding for e in entries}
+        emb_src, emb_trg = emb["p225"], emb["p228"]
+    except (FileNotFoundError, OSError) as exc:
+        log(f"reference corpus unavailable ({exc}); using synthetic inputs")
+        rng = np.random.RandomState(0)
+        feats = rng.rand(376, 80).astype(np.float32)
+        emb_src = rng.randn(256).astype(np.float32)
+        emb_trg = rng.randn(256).astype(np.float32)
 
     T_real = feats.shape[0]
     T_pad = 512  # bucket (multiple of freq=32)

@@ -118,3 +118,23 @@ def test_batched_synthesis_helper():
         expect = np.repeat(mel.mean(-1), hop)
         assert wav.shape == expect.shape
         np.testing.assert_allclose(wav, expect, atol=1e-6)
+
+
+def test_make_spect_device_path(tiny_corpus, tmp_path):
+    """The --device (float32 accelerator) extraction stays close to the
+    exact host path."""
+    import shutil
+
+    root = str(tmp_path / "dev_corpus")
+    shutil.copytree(os.path.join(tiny_corpus, "wavs"), os.path.join(root, "wavs"))
+    from autovc_tpu.cli.make_spect import main
+
+    main(["--platform", "cpu", "--main_dir", root, "--device"])
+    for spk in ("p225",):
+        d = os.path.join(root, "spmel", spk)
+        ref_d = os.path.join(tiny_corpus, "spmel", spk)
+        for f in sorted(os.listdir(d)):
+            a = np.load(os.path.join(d, f))
+            b = np.load(os.path.join(ref_d, f))
+            assert a.shape == b.shape
+            assert np.abs(a - b).max() < 1e-2

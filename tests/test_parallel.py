@@ -110,3 +110,14 @@ def test_sp_generator_matches_dense(seq_mesh):
     np.testing.assert_allclose(np.asarray(out_codes), np.asarray(ref_codes), atol=2e-5)
     np.testing.assert_allclose(np.asarray(out_id), np.asarray(ref_id), atol=2e-4)
     np.testing.assert_allclose(np.asarray(out_psnt), np.asarray(ref_psnt), atol=2e-3)
+
+
+def test_put_global_batch_single_process():
+    from autovc_tpu.parallel import batch_sharding, make_mesh
+    from autovc_tpu.parallel.mesh import put_global_batch
+
+    mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+    x = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
+    out = put_global_batch(x, batch_sharding(mesh))
+    np.testing.assert_array_equal(np.asarray(out), x)
+    assert out.sharding.spec == jax.sharding.PartitionSpec("data")
