@@ -101,6 +101,16 @@ class HiFiGANVocoder:
     def from_checkpoint(cls, cfg: HiFiGANConfig, path: str | None):
         if path is None:
             return cls(cfg)
+        if path.endswith((".pt", ".pth", ".ckpt")):
+            # public torch HiFi-GAN generator checkpoint (the pretrained
+            # vocoder the reference README points at)
+            import torch
+
+            from autovc_tpu.interop.hifigan_import import hifigan_params_from_torch
+
+            ckpt = torch.load(path, map_location="cpu", weights_only=False)
+            sd = ckpt.get("generator", ckpt.get("state_dict", ckpt))
+            return cls(cfg, hifigan_params_from_torch(sd, cfg))
         flat = dict(np.load(path))
         from autovc_tpu.vocoder.wavenet import unflatten_params
 

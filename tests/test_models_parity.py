@@ -222,3 +222,75 @@ def test_generator_wav_on_reference_debug_fixtures():
     assert wav.shape == (2, 33536, 1)
     assert dec.shape == (2, 128, 512)
     assert codes.shape == (2, 128 // 32 * 64)
+
+
+def test_hifigan_import_from_public_torch_layout():
+    """Import a weight-normalized torch state dict in the public HiFi-GAN
+    generator layout and verify our generator's forward equals a torch
+    re-execution of the V1 topology on the same weights."""
+    import torch.nn.functional as tF
+    from torch import nn as tnn
+    from torch.nn.utils import weight_norm
+
+    from autovc_tpu.config import HiFiGANConfig
+    from autovc_tpu.interop.hifigan_import import hifigan_params_from_torch
+    from autovc_tpu.vocoder.hifigan import HiFiGANGenerator
+
+    cfg = HiFiGANConfig(
+        upsample_initial_channel=32,
+        upsample_rates=(4, 4),
+        upsample_kernel_sizes=(8, 8),
+        resblock_kernel_sizes=(3, 5),
+        resblock_dilations=((1, 2), (1, 2)),
+    )
+
+    torch.manual_seed(0)
+    # build torch modules with the public repo's exact naming
+    mods = tnn.Module()
+    mods.conv_pre = weight_norm(tnn.Conv1d(80, 32, 7, padding=3))
+    mods.ups = tnn.ModuleList()
+    mods.resblocks = tnn.ModuleList()
+    ch = 32
+    for i, (r, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        mods.ups.append(
+            weight_norm(tnn.ConvTranspose1d(ch, ch // 2, k, stride=r, padding=(k - r) // 2))
+        )
+        ch //= 2
+        for rk, rd in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilations):
+            blk = tnn.Module()
+            blk.convs1 = tnn.ModuleList(
+                [weight_norm(tnn.Conv1d(ch, ch, rk, dilation=d, padding=d * (rk - 1) // 2)) for d in rd]
+            )
+            blk.convs2 = tnn.ModuleList(
+                [weight_norm(tnn.Conv1d(ch, ch, rk, padding=(rk - 1) // 2)) for _ in rd]
+            )
+            mods.resblocks.append(blk)
+    mods.conv_post = weight_norm(tnn.Conv1d(ch, 1, 7, padding=3))
+
+    def torch_forward(x):  # V1 topology oracle (Kong et al. 2020)
+        h = mods.conv_pre(x)
+        n_res = len(cfg.resblock_kernel_sizes)
+        for i, up in enumerate(mods.ups):
+            h = tF.leaky_relu(h, 0.1)
+            h = up(h)
+            acc = None
+            for j in range(n_res):
+                blk = mods.resblocks[i * n_res + j]
+                y = h
+                for c1, c2 in zip(blk.convs1, blk.convs2):
+                    z = c1(tF.leaky_relu(y, 0.1))
+                    z = c2(tF.leaky_relu(z, 0.1))
+                    y = y + z
+                acc = y if acc is None else acc + y
+            h = acc / n_res
+        h = tF.leaky_relu(h, 0.1)
+        return torch.tanh(mods.conv_post(h))
+
+    rng = np.random.RandomState(0)
+    mel = rng.rand(1, 12, 80).astype(np.float32)
+    with torch.no_grad():
+        ref = torch_forward(_t(mel.transpose(0, 2, 1)))[:, 0].numpy()
+
+    params = hifigan_params_from_torch(mods.state_dict(), cfg)
+    ours = HiFiGANGenerator(cfg).apply({"params": params}, jnp.asarray(mel))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-5)
