@@ -56,20 +56,25 @@ def main(argv=None):
     feature_dir = os.path.join(args.main_dir, args.model_type)
     entries = load_train_manifest(os.path.join(feature_dir, "train.pkl"))
 
-    mses, l1s = [], []
-    n = 0
+    specs = []
     for e in entries:
         for rel in e.utterances:
             feats = np.load(os.path.join(feature_dir, rel))
-            spec = ConversionSpec(n, rel, e.embedding, feats, e.speaker_id, e.embedding)
-            out = conv.convert(spec)  # identity reconstruction
-            mses.append(float(np.mean((out - feats) ** 2)))
-            l1s.append(float(np.mean(np.abs(out - feats))))
-            n += 1
-            if args.max_utts and n >= args.max_utts:
+            specs.append(
+                ConversionSpec(len(specs), rel, e.embedding, feats, e.speaker_id, e.embedding)
+            )
+            if args.max_utts and len(specs) >= args.max_utts:
                 break
-        if args.max_utts and n >= args.max_utts:
+        if args.max_utts and len(specs) >= args.max_utts:
             break
+
+    # identity reconstructions, batched by padded length (fills the MXU)
+    outs = conv.convert_batch(specs, batch_size=8, to_mel=False)
+    mses, l1s = [], []
+    for s, out in zip(specs, outs):
+        mses.append(float(np.mean((out - s.src_features) ** 2)))
+        l1s.append(float(np.mean(np.abs(out - s.src_features))))
+    n = len(specs)
 
     report = {
         "step": int(step),
