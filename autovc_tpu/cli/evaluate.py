@@ -56,25 +56,35 @@ def main(argv=None):
     feature_dir = os.path.join(args.main_dir, args.model_type)
     entries = load_train_manifest(os.path.join(feature_dir, "train.pkl"))
 
-    specs = []
+    paths = []
     for e in entries:
         for rel in e.utterances:
-            feats = np.load(os.path.join(feature_dir, rel))
-            specs.append(
-                ConversionSpec(len(specs), rel, e.embedding, feats, e.speaker_id, e.embedding)
-            )
-            if args.max_utts and len(specs) >= args.max_utts:
+            paths.append((rel, e))
+            if args.max_utts and len(paths) >= args.max_utts:
                 break
-        if args.max_utts and len(specs) >= args.max_utts:
+        if args.max_utts and len(paths) >= args.max_utts:
             break
 
-    # identity reconstructions, batched by padded length (fills the MXU)
-    outs = conv.convert_batch(specs, batch_size=8, to_mel=False)
+    # identity reconstructions, batched by padded length (fills the MXU),
+    # streamed in chunks so a large corpus never sits fully in host memory
     mses, l1s = [], []
-    for s, out in zip(specs, outs):
-        mses.append(float(np.mean((out - s.src_features) ** 2)))
-        l1s.append(float(np.mean(np.abs(out - s.src_features))))
-    n = len(specs)
+    chunk = 64
+    for off in range(0, len(paths), chunk):
+        specs = [
+            ConversionSpec(
+                off + k, rel,
+                e.embedding,
+                np.load(os.path.join(feature_dir, rel)),
+                e.speaker_id,
+                e.embedding,
+            )
+            for k, (rel, e) in enumerate(paths[off : off + chunk])
+        ]
+        outs = conv.convert_batch(specs, batch_size=8, to_mel=False)
+        for s, out in zip(specs, outs):
+            mses.append(float(np.mean((out - s.src_features) ** 2)))
+            l1s.append(float(np.mean(np.abs(out - s.src_features))))
+    n = len(paths)
 
     report = {
         "step": int(step),

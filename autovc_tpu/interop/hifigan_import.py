@@ -18,38 +18,16 @@ from __future__ import annotations
 
 from typing import Mapping
 
-import numpy as np
-
 from autovc_tpu.config import HiFiGANConfig
-
-
-def _np(t):
-    if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
-    return np.asarray(t, np.float32)
-
-
-def _weight(sd: Mapping, prefix: str) -> np.ndarray:
-    if prefix + ".weight" in sd:
-        return _np(sd[prefix + ".weight"])
-    g = _np(sd[prefix + ".weight_g"])
-    v = _np(sd[prefix + ".weight_v"])
-    norm = np.sqrt((v**2).sum(axis=tuple(range(1, v.ndim)), keepdims=True))
-    return g * v / np.maximum(norm, 1e-12)
+from autovc_tpu.interop._torch_utils import resolve_weight, to_np
 
 
 def _conv(sd: Mapping, prefix: str) -> dict:
+    # torch Conv1d (out, in, k) -> (k, in, out); torch ConvTranspose1d
+    # (in, out, k) -> ours (k, out, in): the same transpose(2, 1, 0)
     return {
-        "kernel": _weight(sd, prefix).transpose(2, 1, 0),
-        "bias": _np(sd[prefix + ".bias"]),
-    }
-
-
-def _conv_t(sd: Mapping, prefix: str) -> dict:
-    # torch ConvTranspose1d (in, out, k) -> ours (k, out, in)
-    return {
-        "kernel": _weight(sd, prefix).transpose(2, 1, 0),
-        "bias": _np(sd[prefix + ".bias"]),
+        "kernel": resolve_weight(sd, prefix).transpose(2, 1, 0),
+        "bias": to_np(sd[prefix + ".bias"]),
     }
 
 
@@ -61,7 +39,7 @@ def hifigan_params_from_torch(sd: Mapping, cfg: HiFiGANConfig = HiFiGANConfig())
     params: dict = {"pre": _conv(sd, "conv_pre"), "post": _conv(sd, "conv_post")}
     n_res = len(cfg.resblock_kernel_sizes)
     for i in range(len(cfg.upsample_rates)):
-        params[f"up{i}"] = _conv_t(sd, f"ups.{i}")
+        params[f"up{i}"] = _conv(sd, f"ups.{i}")
         for j in range(n_res):
             k = i * n_res + j
             block: dict = {}

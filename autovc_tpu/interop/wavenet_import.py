@@ -17,25 +17,9 @@ from __future__ import annotations
 
 from typing import Mapping
 
-import numpy as np
-
 from autovc_tpu.config import WaveNetConfig
-
-
-def _np(t):
-    if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
-    return np.asarray(t, np.float32)
-
-
-def _weight(sd: Mapping, prefix: str) -> np.ndarray:
-    """Resolve a conv weight, folding weight normalization if present."""
-    if prefix + ".weight" in sd:
-        return _np(sd[prefix + ".weight"])
-    g = _np(sd[prefix + ".weight_g"])
-    v = _np(sd[prefix + ".weight_v"])
-    norm = np.sqrt((v**2).sum(axis=tuple(range(1, v.ndim)), keepdims=True))
-    return g * v / np.maximum(norm, 1e-12)
+from autovc_tpu.interop._torch_utils import resolve_weight as _weight
+from autovc_tpu.interop._torch_utils import to_np as _np
 
 
 def wavenet_params_from_torch(sd: Mapping, cfg: WaveNetConfig) -> dict:
@@ -70,9 +54,11 @@ def wavenet_params_from_torch(sd: Mapping, cfg: WaveNetConfig) -> dict:
     # upsample convs sit at even indices of the Sequential (odd are ReLU)
     j = 0
     for idx in range(16):
-        key = f"upsample_conv.{idx}.weight"
-        key_g = f"upsample_conv.{idx}.weight_g"
-        if key in sd or key_g in sd:
+        p = f"upsample_conv.{idx}"
+        if any(
+            k in sd
+            for k in (p + ".weight", p + ".weight_g", p + ".parametrizations.weight.original0")
+        ):
             w = _weight(sd, f"upsample_conv.{idx}")  # (1, 1, kf, kt)
             params["upsample"][str(j)] = {"kernel": w[0, 0]}
             j += 1

@@ -108,7 +108,7 @@ class HiFiGANVocoder:
 
             from autovc_tpu.interop.hifigan_import import hifigan_params_from_torch
 
-            ckpt = torch.load(path, map_location="cpu", weights_only=False)
+            ckpt = torch.load(path, map_location="cpu", weights_only=True)
             sd = ckpt.get("generator", ckpt.get("state_dict", ckpt))
             return cls(cfg, hifigan_params_from_torch(sd, cfg))
         flat = dict(np.load(path))
