@@ -47,7 +47,13 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--model_type", default="spmel", choices=["spmel", "stft", "wav"])
     ap.add_argument("--run_name", required=True)
-    ap.add_argument("--lr_scheduler", default=None, choices=[None, "Cosine", "Plateau"])
+    ap.add_argument(
+        "--lr_scheduler",
+        default=None,
+        choices=[None, "Cosine", "CosineDecay", "Plateau"],
+        help="Cosine = reference-faithful periodic CosineAnnealingLR(T_max); "
+        "CosineDecay = one-shot anneal over num_iters (convergence runs)",
+    )
     ap.add_argument("--ema", type=float, default=0.9999)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--log_step", type=int, default=100)

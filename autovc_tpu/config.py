@@ -111,8 +111,10 @@ class TrainConfig:
     num_iters: int = 10_000_000
     len_crop: int = 128  # 128 frames for spmel/stft; 33536 samples for wav
     lr: float = 1e-4
-    lr_scheduler: str | None = None  # None | 'Cosine' | 'Plateau'
+    lr_scheduler: str | None = None  # None | 'Cosine' | 'CosineDecay' | 'Plateau'
     cosine_t_max: int = 10_000
+    # one-shot CosineDecay: anneal over num_iters down to this fraction of lr
+    cosine_eta_min_ratio: float = 0.01
     plateau_factor: float = 0.1
     plateau_patience: int = 10
     ema_decay: float = 0.9999  # applied as a REAL per-step EMA (ref bug fixed)

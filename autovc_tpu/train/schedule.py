@@ -26,6 +26,20 @@ def cosine_annealing(step, t_max: int = 10_000, eta_min: float = 0.0, base: floa
     return eta_min + (base - eta_min) * (1.0 + jnp.cos(jnp.pi * step / t_max)) / 2.0
 
 
+def cosine_decay(step, total_steps: int, eta_min_ratio: float = 0.01):
+    """One-shot cosine decay 1.0 -> eta_min_ratio over total_steps (clamped).
+
+    Unlike the reference's periodic CosineAnnealingLR quirk (kept as
+    'Cosine'), this is the monotone decay used for convergence runs: the
+    train-MSE noise floor scales with the final LR, so annealing to ~1% of
+    base is what closes the last decade toward the reference's ~1e-4
+    criterion (README.md:63)."""
+    import jax.numpy as jnp
+
+    t = jnp.minimum(step, total_steps) / max(total_steps, 1)
+    return eta_min_ratio + (1.0 - eta_min_ratio) * (1.0 + jnp.cos(jnp.pi * t)) / 2.0
+
+
 @dataclass
 class ReduceLROnPlateau:
     """Host-side plateau controller matching torch defaults

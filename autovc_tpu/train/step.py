@@ -101,6 +101,7 @@ def make_train_step(model, cfg: Config, optimizer: optax.GradientTransformation)
     """Build the jitted step: (state, x, emb, lr_scale) -> (state, metrics)."""
 
     use_cosine = cfg.train.lr_scheduler == "Cosine"
+    use_cosine_decay = cfg.train.lr_scheduler == "CosineDecay"
 
     def step_fn(state: TrainState, x, emb, lr_scale):
         (_, (metrics, new_stats)), grads = jax.value_and_grad(
@@ -111,6 +112,10 @@ def make_train_step(model, cfg: Config, optimizer: optax.GradientTransformation)
         scale = lr_scale
         if use_cosine:
             scale = scale * sched.cosine_annealing(state.step, cfg.train.cosine_t_max)
+        if use_cosine_decay:
+            scale = scale * sched.cosine_decay(
+                state.step, cfg.train.num_iters, cfg.train.cosine_eta_min_ratio
+            )
         opt_state = state.opt_state
         opt_state.hyperparams["learning_rate"] = cfg.train.lr * scale
 
