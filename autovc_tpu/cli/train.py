@@ -81,7 +81,19 @@ def main(argv=None):
     if args.multihost:
         import jax
 
-        jax.distributed.initialize()  # coordinator/topology from TPU metadata
+        kw = {}
+        coord = os.environ.get("AUTOVC_COORDINATOR")
+        if coord:
+            # explicit coordination (CPU tests / non-TPU clusters); TPU pods
+            # auto-detect from metadata when these env vars are absent
+            kw = dict(
+                coordinator_address=coord,
+                num_processes=int(os.environ["AUTOVC_NUM_PROCESSES"]),
+                process_id=int(os.environ["AUTOVC_PROCESS_ID"]),
+            )
+            if args.platform == "cpu":
+                jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        jax.distributed.initialize(**kw)
 
     if args.len_crop is None:
         from autovc_tpu.config import wav_len_crop

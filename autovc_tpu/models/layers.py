@@ -176,13 +176,12 @@ class LSTM(nn.Module):
                 xproj = h.astype(compute_dtype) @ w_ih.astype(compute_dtype) + b.astype(
                     compute_dtype
                 )
-                # pallas path: only where the full weight block fits VMEM
-                # comfortably INCLUDING the backward pass (w_hh + same-size
-                # dW scratch), i.e. w_hh <= 4MB -> H <= 512 at f32
-                use_pallas_here = (
-                    self.use_pallas and self.hidden * 4 * self.hidden * 4 <= 4 * 1024 * 1024
-                )
-                if use_pallas_here:
+                # pallas handles every hidden size: <=8MB w_hh uses the
+                # VMEM-resident kernel; larger (decoder H=1024 -> 16MB)
+                # auto-routes to the gate-split kernel, whose custom VJP
+                # streams dgates and does the dW contraction as one XLA
+                # matmul (ops/pallas_lstm._split_bwd_rule)
+                if self.use_pallas:
                     from autovc_tpu.ops.pallas_lstm import lstm_sequence
 
                     pad_b = (-B) % 8  # sublane tile

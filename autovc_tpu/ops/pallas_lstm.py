@@ -132,36 +132,224 @@ def _lstm_kernel_split(xproj_ref, w_hh_ref, h0_ref, c0_ref, out_ref, hn_ref, cn_
             cn_ref[:] = c
 
 
+def _lstm_kernel_split_train(xproj_ref, w_hh_ref, h0_ref, c0_ref, out_ref,
+                             c_out_ref, hn_ref, cn_ref,
+                             h_scratch, c_scratch, g_scratch, *, hidden):
+    """Gate-split training forward: also streams the cell-state sequence
+    (custom-VJP residual), mirroring _lstm_kernel_train."""
+    t = pl.program_id(0)
+    j = pl.program_id(1)
+    nt = pl.num_programs(0)
+
+    @pl.when(jnp.logical_and(t == 0, j == 0))
+    def _init():
+        h_scratch[:] = h0_ref[:]
+        c_scratch[:] = c0_ref[:]
+
+    g_scratch[j] = xproj_ref[0, 0] + jnp.dot(
+        h_scratch[:], w_hh_ref[0], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == 3)
+    def _update():
+        i_g, f_g, g_g, o_g = g_scratch[0], g_scratch[1], g_scratch[2], g_scratch[3]
+        c = jax.nn.sigmoid(f_g) * c_scratch[:] + jax.nn.sigmoid(i_g) * jnp.tanh(g_g)
+        h = jax.nn.sigmoid(o_g) * jnp.tanh(c)
+        c_scratch[:] = c
+        h_scratch[:] = h
+        out_ref[0] = h.astype(out_ref.dtype)
+        c_out_ref[0] = c
+
+        @pl.when(t == nt - 1)
+        def _final():
+            hn_ref[:] = h
+            cn_ref[:] = c
+
+
+def _lstm_bwd_kernel_split(
+    xg_ref, wg_ref, hprev_ref, cprev_ref, c_ref, dy_ref, dhn_ref, dcn_ref,
+    dx_ref, dh0_ref, dc0_ref,
+    g_s, dg_s, dh_acc, dc_s, *, hidden,
+):
+    """Gate-split reversed backward. Grid (Tc+1, 4); step (i, j) handles
+    t = Tc-1-i, gate block j.
+
+    The trick that keeps weight traffic at 1x forward: while gate block j of
+    w_hh is VMEM-resident we do BOTH matmuls that need it —
+      (a) recompute gate j's preactivation for the current step t, and
+      (b) accumulate dL/dh_t's contribution  dgates_{t+1}[j] @ w_hh[j]^T
+          from the PREVIOUS grid column's dgates (held in dg_s scratch).
+    dW never lives on-chip: dgates streams to HBM and the (H, 4H) weight
+    gradient is a single large MXU matmul outside the kernel (XLA tiles it
+    better than any hand-rolled VMEM accumulator could at 16MB).
+
+    The extra epilogue column (i == Tc) only performs (b), producing
+    dL/dh0 = dgates_0 @ W^T; its block indices are clamped to t=0 and its
+    recompute writes are masked off.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nt = pl.num_programs(0)  # Tc + 1
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _init():
+        dg_s[:] = jnp.zeros_like(dg_s)
+        dc_s[:] = dcn_ref[:]
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _seed_dh():
+        dh_acc[:] = dhn_ref[:]
+
+    @pl.when(jnp.logical_and(i > 0, j == 0))
+    def _reset_dh():
+        dh_acc[:] = jnp.zeros_like(dh_acc)
+
+    # (b) dh_t += dgates_{t+1}[j] @ w_hh[j]^T  (dg_s is zero on column 0)
+    dh_acc[:] += jax.lax.dot_general(
+        dg_s[j], wg_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # (a) recompute gate j preactivation for step t (garbage on the epilogue
+    # column — its consumers below are masked off there)
+    g_s[j] = xg_ref[0, 0] + jnp.dot(
+        hprev_ref[0], wg_ref[0], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(jnp.logical_and(j == 3, i < nt - 1))
+    def _grad():
+        si = jax.nn.sigmoid(g_s[0])
+        sf = jax.nn.sigmoid(g_s[1])
+        tg = jnp.tanh(g_s[2])
+        so = jax.nn.sigmoid(g_s[3])
+        tc_ = jnp.tanh(c_ref[0])
+
+        dh = dy_ref[0] + dh_acc[:]
+        do = dh * tc_ * so * (1.0 - so)
+        dc = dc_s[:] + dh * so * (1.0 - tc_ * tc_)
+        di = dc * tg * si * (1.0 - si)
+        dg = dc * si * (1.0 - tg * tg)
+        df = dc * cprev_ref[0] * sf * (1.0 - sf)
+        dg_s[0] = di
+        dg_s[1] = df
+        dg_s[2] = dg
+        dg_s[3] = do
+        dx_ref[0] = jnp.concatenate([di, df, dg, do], axis=-1).astype(dx_ref.dtype)
+        dc_s[:] = dc * sf
+
+    @pl.when(jnp.logical_and(j == 3, i == nt - 1))
+    def _final():
+        dh0_ref[:] = dh_acc[:]
+        dc0_ref[:] = dc_s[:]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _lstm_chunk_split(xproj_t, w_hh, h0, c0, interpret: bool):
-    """Gate-split chunk for large hidden sizes (w_hh too big for a single
-    VMEM-resident block). Inference-only: its custom VJP raises a clear
-    error (use the XLA scan path for training at these sizes)."""
-    return _lstm_chunk_split_impl(xproj_t, w_hh, h0, c0, interpret)
+    """Differentiable gate-split chunk for large hidden sizes (w_hh too big
+    for a single VMEM-resident block; (H, H) gate blocks stream instead)."""
+    out, hn, cn = _lstm_chunk_split_impl(
+        xproj_t, w_hh, h0, c0, interpret, with_residual=False
+    )
+    return out, hn, cn
 
 
 def _split_fwd_rule(xproj_t, w_hh, h0, c0, interpret):
-    raise NotImplementedError(
-        "gate-split pallas LSTM (w_hh > 8MB) has no backward pass; use the "
-        "XLA scan path (use_pallas=False) for training at this hidden size"
+    out, c_seq, hn, cn = _lstm_chunk_split_impl(
+        xproj_t, w_hh, h0, c0, interpret, with_residual=True
+    )
+    return (out, hn, cn), (xproj_t, w_hh, h0, c0, out, c_seq)
+
+
+def _split_bwd_rule(interpret, residuals, cotangents):
+    xproj_t, w_hh, h0, c0, h_seq, c_seq = residuals
+    dy, dhn, dcn = cotangents
+    tc, b, h4 = xproj_t.shape
+    hidden = h4 // 4
+
+    hprev = jnp.concatenate([h0[None], h_seq[:-1].astype(jnp.float32)], axis=0)
+    cprev = jnp.concatenate([c0[None], c_seq[:-1]], axis=0)
+    xg = xproj_t.astype(jnp.float32).reshape(tc, b, 4, hidden).transpose(2, 0, 1, 3)
+    wg = w_hh.astype(jnp.float32).reshape(hidden, 4, hidden).transpose(1, 0, 2)
+
+    def rev_t(i, j):  # time-streamed blocks, clamped for the epilogue column
+        return (jnp.maximum(tc - 1 - i, 0), 0, 0)
+
+    def rev_gate_t(i, j):
+        return (j, jnp.maximum(tc - 1 - i, 0), 0, 0)
+
+    const = lambda i, j: (0, 0)
+    dgates, dh0, dc0 = pl.pallas_call(
+        functools.partial(_lstm_bwd_kernel_split, hidden=hidden),
+        grid=(tc + 1, 4),
+        in_specs=[
+            pl.BlockSpec((1, 1, b, hidden), rev_gate_t, memory_space=pltpu.VMEM),  # xg
+            pl.BlockSpec((1, hidden, hidden), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hidden), rev_t, memory_space=pltpu.VMEM),  # hprev
+            pl.BlockSpec((1, b, hidden), rev_t, memory_space=pltpu.VMEM),  # cprev
+            pl.BlockSpec((1, b, hidden), rev_t, memory_space=pltpu.VMEM),  # c
+            pl.BlockSpec((1, b, hidden), rev_t, memory_space=pltpu.VMEM),  # dy
+            pl.BlockSpec((b, hidden), const, memory_space=pltpu.VMEM),     # dhn
+            pl.BlockSpec((b, hidden), const, memory_space=pltpu.VMEM),     # dcn
+        ],
+        out_specs=(
+            pl.BlockSpec((1, b, h4), rev_t, memory_space=pltpu.VMEM),      # dgates
+            pl.BlockSpec((b, hidden), const, memory_space=pltpu.VMEM),     # dh0
+            pl.BlockSpec((b, hidden), const, memory_space=pltpu.VMEM),     # dc0
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((tc, b, h4), jnp.float32),
+            jax.ShapeDtypeStruct((b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((b, hidden), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((4, b, hidden), jnp.float32),  # g_s (recomputed gates)
+            pltpu.VMEM((4, b, hidden), jnp.float32),  # dg_s (prev dgates)
+            pltpu.VMEM((b, hidden), jnp.float32),     # dh accumulator
+            pltpu.VMEM((b, hidden), jnp.float32),     # dc carry
+        ],
+        interpret=interpret,
+    )(xg, wg, hprev, cprev, c_seq, dy.astype(jnp.float32), dhn, dcn)
+
+    # weight gradient as one large MXU matmul outside the kernel:
+    # dW[h, g] = sum_{t,b} hprev[t,b,h] * dgates[t,b,g]
+    dw = jax.lax.dot_general(
+        hprev.reshape(tc * b, hidden),
+        dgates.reshape(tc * b, h4),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return (
+        dgates.astype(xproj_t.dtype),
+        dw.astype(w_hh.dtype),
+        dh0.astype(h0.dtype),
+        dc0.astype(c0.dtype),
     )
 
 
-def _split_bwd_rule(interpret, residuals, cotangents):  # pragma: no cover
-    raise NotImplementedError
-
-
-def _lstm_chunk_split_impl(xproj_t, w_hh, h0, c0, interpret: bool):
+def _lstm_chunk_split_impl(xproj_t, w_hh, h0, c0, interpret: bool,
+                           with_residual: bool = False):
     """Gate-split chunk for large hidden sizes. Reshapes the gate axis into a
-    leading block dim so BlockSpecs can tile it."""
+    leading block dim so BlockSpecs can tile it. with_residual=True also
+    streams the cell-state sequence (the custom-VJP residual)."""
     tc, b, h4 = xproj_t.shape
     hidden = h4 // 4
     # gate axis leads so Mosaic's last-two-dims tiling constraint is met:
     # (Tc, B, 4H) -> (4, Tc, B, H);  (H, 4H) -> (4, H, H)
     xg = xproj_t.reshape(tc, b, 4, hidden).transpose(2, 0, 1, 3)
     wg = w_hh.reshape(hidden, 4, hidden).transpose(1, 0, 2)
+    stream = pl.BlockSpec((1, b, hidden), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    const = pl.BlockSpec((b, hidden), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    out_specs = [stream] + ([stream] if with_residual else []) + [const, const]
+    out_shape = (
+        [jax.ShapeDtypeStruct((tc, b, hidden), xproj_t.dtype)]
+        + ([jax.ShapeDtypeStruct((tc, b, hidden), jnp.float32)] if with_residual else [])
+        + [
+            jax.ShapeDtypeStruct((b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((b, hidden), jnp.float32),
+        ]
+    )
+    kernel = _lstm_kernel_split_train if with_residual else _lstm_kernel_split
     return pl.pallas_call(
-        functools.partial(_lstm_kernel_split, hidden=hidden),
+        functools.partial(kernel, hidden=hidden),
         grid=(tc, 4),
         in_specs=[
             pl.BlockSpec((1, 1, b, hidden), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM),
@@ -169,16 +357,8 @@ def _lstm_chunk_split_impl(xproj_t, w_hh, h0, c0, interpret: bool):
             pl.BlockSpec((b, hidden), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, hidden), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, b, hidden), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, hidden), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, hidden), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((tc, b, hidden), xproj_t.dtype),
-            jax.ShapeDtypeStruct((b, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((b, hidden), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((b, hidden), jnp.float32),
             pltpu.VMEM((b, hidden), jnp.float32),
@@ -378,10 +558,9 @@ def _lstm_sequence(
         xt = xt[::-1]
 
     # full (H, 4H) weights above ~8MB can't stay VMEM-resident next to the
-    # activation blocks. The gate-split kernel ((H, H) blocks) handles that
-    # case but compiles slowly on remote-AOT helpers, so by default large-H
-    # LSTMs fall back to the XLA scan (see layers.LSTM) and callers only get
-    # pallas where it's a clear win.
+    # activation blocks; the gate-split kernel streams (H, H) gate blocks
+    # instead (forward AND backward — see _split_bwd_rule's single-visit
+    # weight schedule).
     split = w_hh.size * w_hh.dtype.itemsize > 8 * 1024 * 1024
     chunk_fn = _lstm_chunk_split if split else _lstm_chunk
 

@@ -1,0 +1,235 @@
+"""Persistent Pallas kernel for autoregressive WaveNet generation.
+
+The reference's quality path is sample-by-sample autoregressive synthesis
+(reference synthesis.py:53-69: 256 sequential net evals per mel frame). At
+batch 1 the cost is pure HBM weight streaming: every generated sample must
+read all ~96MB (f32) of layer weights. The XLA scan path (vocoder/wavenet.py
+_generate_scan) already runs near the f32 streaming roofline, so the only
+way to go faster is to move fewer bytes and keep the stream saturated:
+
+- grid (T, L): sample-major, layer-minor. Layer l's weights are streamed as
+  grid-indexed input blocks, so Mosaic's automatic pipelining DOUBLE-BUFFERS
+  the fetch of layer l+1 against layer l's compute — a hand-written
+  persistent kernel's overlap schedule, expressed declaratively.
+- bfloat16 weight blocks halve the bytes per sample vs f32 (the MoL head and
+  all accumulations stay float32).
+- the dilation ring buffers, the (h, skip) accumulators, and the previous
+  sample live in VMEM scratch for the whole call — nothing autoregressive
+  ever round-trips through HBM.
+
+Randomness is externalized: the caller pregenerates (T, B, K+1) uniforms and
+both this kernel and the scan path consume the same stream (wavenet.
+sample_from_mol_uniforms), making the two engines directly comparable.
+
+VMEM budget (B=8, bf16): w3 block 1.5MB x2 (pipeline) + wout/wskip/wcond
+~0.9MB x2 + ring buffers 4.1MB + accumulators < 16MB/core.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SQRT_HALF = float(np.sqrt(0.5))
+
+
+def _sample_mol(logits, uniforms, log_scale_min):
+    """MoL sampling on (B, 3K) logits with (B, K+1) uniforms — mirrors
+    wavenet.sample_from_mol_uniforms with Mosaic-safe one-hot (2D iota)."""
+    b, k3 = logits.shape
+    k = k3 // 3
+    logit_probs = logits[:, :k]
+    means = logits[:, k : 2 * k]
+    log_scales = jnp.maximum(logits[:, 2 * k :], log_scale_min)
+
+    u_sel = jnp.clip(uniforms[:, :k], 1e-5, 1.0 - 1e-5)
+    u_x = jnp.clip(uniforms[:, k], 1e-5, 1.0 - 1e-5)
+    g = -jnp.log(-jnp.log(u_sel))
+    am = jnp.argmax(logit_probs + g, axis=-1)  # (B,)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
+    sel = (iota == am[:, None]).astype(logits.dtype)
+    mu = jnp.sum(means * sel, axis=-1)
+    log_s = jnp.sum(log_scales * sel, axis=-1)
+    x = mu + jnp.exp(log_s) * (jnp.log(u_x) - jnp.log1p(-u_x))
+    return jnp.clip(x, -1.0, 1.0)
+
+
+def _wavenet_kernel(
+    dil_s, off_s,  # SMEM (L,) int32
+    w3_ref, wcond_ref, wout_ref, wskip_ref, bg_ref, bo_ref, bs_ref,
+    fk_ref, fb_ref, l1k_ref, l1b_ref, l2k_ref, l2b_ref,
+    cond_ref, unif_ref,
+    y_ref,
+    rbuf, xprev_s, h_s, skip_s,
+    *, n_layers, g2, log_scale_min,
+):
+    t = pl.program_id(0)
+    l = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(t == 0, l == 0))
+    def _init():
+        rbuf[:] = jnp.zeros_like(rbuf)
+        xprev_s[:] = jnp.zeros_like(xprev_s)
+
+    @pl.when(l == 0)
+    def _first_conv():
+        h_s[:] = xprev_s[0][:, None] * fk_ref[0][None, :] + fb_ref[0][None, :]
+        skip_s[:] = jnp.zeros_like(skip_s)
+
+    d = dil_s[l]
+    off = off_s[l]
+    size = 2 * d
+    slot = jax.lax.rem(t, size)
+    slot_d = jax.lax.rem(t + d, size)  # (t - d) mod 2d
+
+    dtype = rbuf.dtype
+    x_2d = rbuf[pl.ds(off + slot, 1)][0]  # (B, R)
+    x_d = rbuf[pl.ds(off + slot_d, 1)][0]
+    h = h_s[:].astype(dtype)
+
+    x_all = jnp.concatenate([x_2d, x_d, h], axis=-1)  # (B, 3R): [t-2d, t-d, t]
+    gates = (
+        jnp.dot(x_all, w3_ref[0], preferred_element_type=jnp.float32)
+        + jnp.dot(cond_ref[0].astype(dtype), wcond_ref[0], preferred_element_type=jnp.float32)
+        + bg_ref[0][None, :]
+    )  # (B, G) f32
+    z = (jnp.tanh(gates[:, :g2]) * jax.nn.sigmoid(gates[:, g2:])).astype(dtype)
+
+    skip_s[:] = (
+        skip_s[:]
+        + jnp.dot(z, wskip_ref[0], preferred_element_type=jnp.float32)
+        + bs_ref[0][None, :]
+    ) * SQRT_HALF
+    # store this layer's INPUT into the slot just consumed (x[t-2d]'s slot)
+    rbuf[pl.ds(off + slot, 1)] = h[None]
+    h_s[:] = (
+        h_s[:]
+        + jnp.dot(z, wout_ref[0], preferred_element_type=jnp.float32)
+        + bo_ref[0][None, :]
+    ) * SQRT_HALF
+
+    @pl.when(l == n_layers - 1)
+    def _emit():
+        out = jax.nn.relu(skip_s[:])
+        out = jax.nn.relu(
+            jnp.dot(out, l1k_ref[:], preferred_element_type=jnp.float32)
+            + l1b_ref[0][None, :]
+        )
+        logits = (
+            jnp.dot(out, l2k_ref[:], preferred_element_type=jnp.float32)
+            + l2b_ref[0][None, :]
+        )
+        x_t = _sample_mol(logits, unif_ref[0], log_scale_min)
+        y_ref[0] = x_t
+        xprev_s[0] = x_t
+
+
+def pack_weights(params: dict, n_layers: int, dtype=jnp.bfloat16) -> dict:
+    """Stack per-layer weights into grid-streamable (L, ...) arrays."""
+    lp = [params["layers"][str(i)] for i in range(n_layers)]
+    cast = lambda a: jnp.asarray(a, dtype)
+    return {
+        "w3": jnp.stack(
+            [
+                jnp.concatenate([cast(p["w_prev2"]), cast(p["w_prev1"]), cast(p["w_cur"])], axis=0)
+                for p in lp
+            ]
+        ),  # (L, 3R, G)
+        "wcond": jnp.stack([cast(p["w_cond"]) for p in lp]),  # (L, C, G)
+        "wout": jnp.stack([cast(p["w_out"]) for p in lp]),    # (L, G/2, R)
+        "wskip": jnp.stack([cast(p["w_skip"]) for p in lp]),  # (L, G/2, S)
+        "bg": jnp.stack([jnp.asarray(p["bias"], jnp.float32) for p in lp]),
+        "bo": jnp.stack([jnp.asarray(p["b_out"], jnp.float32) for p in lp]),
+        "bs": jnp.stack([jnp.asarray(p["b_skip"], jnp.float32) for p in lp]),
+        "fk": jnp.asarray(params["first_conv"]["kernel"], jnp.float32),  # (1, R)
+        "fb": jnp.asarray(params["first_conv"]["bias"], jnp.float32)[None],  # (1, R)
+        "l1k": jnp.asarray(params["last1"]["kernel"], jnp.float32),
+        "l1b": jnp.asarray(params["last1"]["bias"], jnp.float32)[None],
+        "l2k": jnp.asarray(params["last2"]["kernel"], jnp.float32),
+        "l2b": jnp.asarray(params["last2"]["bias"], jnp.float32)[None],
+    }
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dilations", "log_scale_min", "interpret")
+)
+def generate_pallas(
+    packed: dict,
+    dilations: tuple,
+    cond: jax.Array,      # (B, T, C) float32
+    uniforms: jax.Array,  # (B, T, K+1) float32
+    log_scale_min: float = -32.23619130191664,
+    interpret: bool = False,
+) -> jax.Array:
+    """Autoregressive generation; returns (B, T) float32 waveform."""
+    b, t, c = cond.shape
+    n_layers = len(dilations)
+    r = packed["wout"].shape[-1]
+    g = packed["w3"].shape[-1]
+    s = packed["wskip"].shape[-1]
+    ku = uniforms.shape[-1]
+    dtype = packed["w3"].dtype
+
+    pad_b = (-b) % 8  # sublane tile
+    if pad_b:
+        cond = jnp.pad(cond, ((0, pad_b), (0, 0), (0, 0)))
+        uniforms = jnp.pad(
+            uniforms, ((0, pad_b), (0, 0), (0, 0)), constant_values=0.5
+        )
+    bp = b + pad_b
+
+    dils = np.asarray(dilations, np.int32)
+    offsets = np.concatenate([[0], np.cumsum(2 * dils)[:-1]]).astype(np.int32)
+    total_slots = int(np.sum(2 * dils))
+
+    cond_t = jnp.swapaxes(cond, 0, 1)          # (T, B, C)
+    unif_t = jnp.swapaxes(uniforms, 0, 1)      # (T, B, K+1)
+
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    layer2 = lambda d0, d1: pl.BlockSpec((1, d0, d1), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM)
+    layer1 = lambda d0: pl.BlockSpec((1, d0), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+    const2 = lambda d0, d1: pl.BlockSpec((d0, d1), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    time2 = lambda d0, d1: pl.BlockSpec((1, d0, d1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    y = pl.pallas_call(
+        functools.partial(
+            _wavenet_kernel, n_layers=n_layers, g2=g // 2,
+            log_scale_min=log_scale_min,
+        ),
+        grid=(t, n_layers),
+        in_specs=[
+            smem(), smem(),
+            layer2(3 * r, g),                       # w3
+            layer2(c, g),                           # wcond
+            layer2(g // 2, r),                      # wout
+            layer2(g // 2, s),                      # wskip
+            layer1(g), layer1(r), layer1(s),        # bg, bo, bs
+            const2(1, r), const2(1, r),             # fk, fb
+            const2(s, s), const2(1, s),             # last1
+            const2(s, packed["l2k"].shape[-1]), const2(1, packed["l2k"].shape[-1]),
+            time2(bp, c),                           # cond
+            time2(bp, ku),                          # uniforms
+        ],
+        out_specs=pl.BlockSpec((1, bp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, bp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((total_slots, bp, r), dtype),  # dilation ring buffers
+            pltpu.VMEM((1, bp), jnp.float32),         # previous sample
+            pltpu.VMEM((bp, r), jnp.float32),         # residual accumulator
+            pltpu.VMEM((bp, s), jnp.float32),         # skip accumulator
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray(dils), jnp.asarray(offsets),
+        packed["w3"], packed["wcond"], packed["wout"], packed["wskip"],
+        packed["bg"], packed["bo"], packed["bs"],
+        packed["fk"], packed["fb"], packed["l1k"], packed["l1b"],
+        packed["l2k"], packed["l2b"],
+        cond_t, unif_t,
+    )
+    return jnp.swapaxes(y, 0, 1)[:b]

@@ -94,7 +94,10 @@ class Solver:
             ema_params=init_ema(params),
         )
         # place on mesh: params replicated (or TP-sharded), ready for DP batches
-        tp = self.cfg.train.model_parallel > 1
+        tp = (
+            self.cfg.train.model_parallel > 1
+            or dict(self.mesh.shape).get("model", 1) > 1
+        )
         psh = param_shardings(params, self.mesh, tensor_parallel=tp)
         rep = replicated(self.mesh)
         state = TrainState(

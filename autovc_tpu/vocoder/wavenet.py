@@ -164,22 +164,37 @@ def apply(params: dict, cfg: WaveNetConfig, x: jax.Array, c: jax.Array) -> jax.A
 # -------------------------------------------------- mixture of logistics
 
 
-def sample_from_mol(logits: jax.Array, key: jax.Array, log_scale_min: float) -> jax.Array:
-    """Sample from discretized mixture of logistics logits (..., 3*K)."""
+def sample_from_mol_uniforms(
+    logits: jax.Array, uniforms: jax.Array, log_scale_min: float
+) -> jax.Array:
+    """Sample from MoL logits (..., 3*K) given uniforms (..., K+1) in (0, 1).
+
+    Externalizing the randomness lets every generation engine (XLA scan,
+    persistent Pallas kernel) consume the SAME pregenerated stream, so their
+    outputs are directly comparable."""
     k = logits.shape[-1] // 3
     logit_probs = logits[..., :k]
     means = logits[..., k : 2 * k]
     log_scales = jnp.maximum(logits[..., 2 * k :], log_scale_min)
 
-    k1, k2 = jax.random.split(key)
+    u_sel = jnp.clip(uniforms[..., :k], 1e-5, 1.0 - 1e-5)
+    u_x = jnp.clip(uniforms[..., k], 1e-5, 1.0 - 1e-5)
     # gumbel-max mixture selection
-    g = -jnp.log(-jnp.log(jax.random.uniform(k1, logit_probs.shape, minval=1e-5, maxval=1 - 1e-5)))
+    g = -jnp.log(-jnp.log(u_sel))
     sel = jax.nn.one_hot(jnp.argmax(logit_probs + g, axis=-1), k, dtype=logits.dtype)
     mu = jnp.sum(means * sel, axis=-1)
     log_s = jnp.sum(log_scales * sel, axis=-1)
-    u = jax.random.uniform(k2, mu.shape, minval=1e-5, maxval=1.0 - 1e-5)
-    x = mu + jnp.exp(log_s) * (jnp.log(u) - jnp.log1p(-u))
+    x = mu + jnp.exp(log_s) * (jnp.log(u_x) - jnp.log1p(-u_x))
     return jnp.clip(x, -1.0, 1.0)
+
+
+def sample_from_mol(logits: jax.Array, key: jax.Array, log_scale_min: float) -> jax.Array:
+    """Sample from discretized mixture of logistics logits (..., 3*K)."""
+    k = logits.shape[-1] // 3
+    uniforms = jax.random.uniform(
+        key, logits.shape[:-1] + (k + 1,), minval=1e-5, maxval=1.0 - 1e-5
+    )
+    return sample_from_mol_uniforms(logits, uniforms, log_scale_min)
 
 
 def discretized_mol_loss(
@@ -249,7 +264,10 @@ def _generate_scan(
     x0 = jnp.zeros((b,), jnp.float32)
 
     cond_t = jnp.swapaxes(cond, 0, 1).astype(dtype)  # (T, B, C)
-    keys = jax.random.split(key, length)
+    k_mol = cfg.out_channels // 3
+    uniforms = jax.random.uniform(
+        key, (length, b, k_mol + 1), minval=1e-5, maxval=1.0 - 1e-5
+    )
     ts = jnp.arange(length, dtype=jnp.int32)
 
     cast = lambda t: jax.tree_util.tree_map(lambda a: a.astype(dtype), t)
@@ -259,7 +277,7 @@ def _generate_scan(
 
     def step(carry, scanned):
         bufs, x_prev = carry
-        c_t, k_t, t = scanned
+        c_t, u_t, t = scanned
 
         h = (x_prev[:, None].astype(dtype)) * first_k[0] + first_b  # (B, R)
         skip_sum = jnp.zeros((b, s), dtype)
@@ -292,10 +310,10 @@ def _generate_scan(
         out = jax.nn.relu(skip_sum).astype(jnp.float32)
         out = jax.nn.relu(out @ params["last1"]["kernel"] + params["last1"]["bias"])
         logits = out @ params["last2"]["kernel"] + params["last2"]["bias"]
-        x_t = sample_from_mol(logits, k_t, cfg.log_scale_min)
+        x_t = sample_from_mol_uniforms(logits, u_t, cfg.log_scale_min)
         return (tuple(new_bufs), x_t), (x_t, logits)
 
-    (_, _), (ys, logits) = jax.lax.scan(step, (bufs, x0), (cond_t, keys, ts))
+    (_, _), (ys, logits) = jax.lax.scan(step, (bufs, x0), (cond_t, uniforms, ts))
     return jnp.swapaxes(ys, 0, 1), jnp.swapaxes(logits, 0, 1)  # (B, T), (B, T, 30)
 
 
@@ -326,11 +344,21 @@ class WaveNetVocoder:
         return cls(cfg, wavenet_params_from_torch(sd, cfg))
 
     def generate(
-        self, mel: np.ndarray, key: jax.Array | None = None, dtype=jnp.float32
+        self,
+        mel: np.ndarray,
+        key: jax.Array | None = None,
+        dtype=jnp.float32,
+        engine: str = "scan",
     ) -> jax.Array:
         """mel (Tc, 80) or (B, Tc, 80) normalized -> waveform (B?, Tc*256),
         mirroring wavegen()'s length contract (synthesis.py:52-55).
-        dtype=jnp.bfloat16 halves HBM weight traffic per sample."""
+
+        engine='scan':   lax.scan fast-generation (default; best at large B)
+        engine='pallas': persistent kernel with pipelined weight streaming
+                         (ops/pallas_wavenet.py; best per-utterance latency —
+                         pair with dtype=bfloat16 to halve HBM traffic)
+        Both consume the SAME uniform stream for a given key.
+        """
         if key is None:
             key = jax.random.PRNGKey(0)
         mel = jnp.asarray(mel, jnp.float32)
@@ -339,7 +367,23 @@ class WaveNetVocoder:
             mel = mel[None]
         length = mel.shape[1] * self.cfg.hop_size
         cond = upsample_conditioning(self.params, self.cfg, mel)[:, :length]
-        wav, _ = _generate_scan(self.params, self.cfg, cond, key, length, dtype=dtype)
+        if engine == "pallas":
+            from autovc_tpu.ops.pallas_wavenet import generate_pallas, pack_weights
+
+            k_mol = self.cfg.out_channels // 3
+            uniforms = jax.random.uniform(
+                key, (length, cond.shape[0], k_mol + 1),
+                minval=1e-5, maxval=1.0 - 1e-5,
+            )
+            packed = pack_weights(self.params, self.cfg.layers, dtype=dtype)
+            wav = generate_pallas(
+                packed, tuple(self.cfg.dilations()),
+                cond, jnp.swapaxes(uniforms, 0, 1),
+                log_scale_min=self.cfg.log_scale_min,
+                interpret=jax.default_backend() not in ("tpu", "axon"),
+            )
+        else:
+            wav, _ = _generate_scan(self.params, self.cfg, cond, key, length, dtype=dtype)
         return wav[0] if squeeze else wav
 
     def logits(self, x: jax.Array, mel: jax.Array) -> jax.Array:

@@ -1,0 +1,118 @@
+"""Multi-host training seam test (VERDICT r1 item 7).
+
+Launches TWO real OS processes running the actual CLI entrypoint
+(`autovc_tpu.cli.train --multihost`) coordinated over jax.distributed with
+gloo CPU collectives — the same code path a TPU pod runs, minus the ICI.
+This executes, end to end:
+  - cli/train.py's jax.distributed.initialize branch,
+  - the host-sharded BatchIterator (each process feeds its rows of the
+    global batch from a shared seeded stream),
+  - put_global_batch's jax.make_array_from_process_local_data branch
+    (via DevicePrefetcher),
+  - orbax checkpointing under multi-process coordination,
+and asserts the trained params equal a single-process run bit-for-tolerance.
+"""
+
+import os
+import pickle
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _child_env() -> dict:
+    env = dict(os.environ)
+    # the parent test process forces an 8-device virtual mesh; children must
+    # see exactly ONE local CPU device each so 2 processes = 2 global devices
+    flags = env.get("XLA_FLAGS", "")
+    env["XLA_FLAGS"] = " ".join(
+        f for f in flags.split() if "xla_force_host_platform_device_count" not in f
+    )
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+def _train_cmd(main_dir: str, run_name: str, num_iters: int) -> list:
+    return [
+        sys.executable, "-m", "autovc_tpu.cli.train",
+        "--platform", "cpu",
+        "--main_dir", main_dir,
+        "--model_type", "spmel",
+        "--run_name", run_name,
+        "--resume",  # pins the run_name (no timestamp) so both procs share it
+        "--batch_size", "2",
+        "--len_crop", "64",
+        "--num_iters", str(num_iters),
+        "--log_step", str(num_iters),
+        "--checkpoint_step", str(num_iters),
+    ]
+
+
+def _restore_params(main_dir: str, run_name: str, step: int):
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = os.path.abspath(
+        os.path.join(main_dir, "runs", run_name, "checkpoints")
+    )
+    with ocp.CheckpointManager(ckpt_dir) as mgr:
+        restored = mgr.restore(
+            step, args=ocp.args.Composite(state=ocp.args.StandardRestore())
+        )["state"]
+    return restored["params"]
+
+
+@pytest.fixture()
+def corpus_dir(tmp_path, reference_dir):
+    """A writable main_dir with the reference spmel features symlinked in."""
+    os.symlink(os.path.join(reference_dir, "spmel"), str(tmp_path / "spmel"))
+    return str(tmp_path)
+
+
+def test_two_process_training_matches_single_process(corpus_dir):
+    n_iters = 3
+    port = _free_port()
+    env = _child_env()
+    env["AUTOVC_COORDINATOR"] = f"localhost:{port}"
+    env["AUTOVC_NUM_PROCESSES"] = "2"
+
+    procs = []
+    for pid in range(2):
+        e = dict(env, AUTOVC_PROCESS_ID=str(pid))
+        procs.append(
+            subprocess.Popen(
+                _train_cmd(corpus_dir, "mh", n_iters) + ["--multihost"],
+                env=e, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"multihost child failed:\n{out[-3000:]}"
+
+    # single-process reference with the identical seeded batch stream
+    p = subprocess.run(
+        _train_cmd(corpus_dir, "solo", n_iters),
+        env=_child_env(), stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, timeout=600,
+    )
+    assert p.returncode == 0, f"single-process run failed:\n{p.stdout[-3000:]}"
+
+    mh = _restore_params(corpus_dir, "mh", n_iters)
+    solo = _restore_params(corpus_dir, "solo", n_iters)
+    import jax
+
+    la, lb = jax.tree_util.tree_leaves(mh), jax.tree_util.tree_leaves(solo)
+    assert len(la) == len(lb) and len(la) > 0
+    worst = max(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(la, lb)
+    )
+    assert worst < 1e-3, f"multihost params diverged from single-process: {worst}"

@@ -220,12 +220,59 @@ def test_pallas_lstm_bf16_forward_and_grad():
     assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
 
 
-def test_pallas_split_path_raises_clear_error_under_grad():
+def test_pallas_split_gradients_match_scan():
+    """Gate-split custom VJP == jax.grad through the scan reference (dx AND
+    dW), across chunk boundaries. This is the decoder-H=1024 training path;
+    tested at small H by calling the split chunk directly."""
+    from autovc_tpu.models.layers import _lstm_scan
     from autovc_tpu.ops.pallas_lstm import _lstm_chunk_split
 
-    b, t, h = 8, 4, 16
-    xp = jnp.zeros((t, b, 4 * h))
-    w = jnp.zeros((h, 4 * h))
-    z = jnp.zeros((b, h))
-    with pytest.raises(NotImplementedError, match="scan path"):
-        jax.grad(lambda x: jnp.sum(_lstm_chunk_split(x, w, z, z, True)[0]))(xp)
+    rng = np.random.RandomState(11)
+    b, t, h = 8, 20, 32
+    xproj = jnp.asarray(rng.randn(b, t, 4 * h) * 0.3, jnp.float32)
+    w_hh = jnp.asarray(rng.randn(h, 4 * h) * 0.2, jnp.float32)
+    cot = jnp.asarray(rng.randn(b, t, h), jnp.float32)
+
+    def ref_loss(xp, w):
+        out = _lstm_scan(xp, w, jnp.zeros((b, h)), jnp.zeros((b, h)), False)
+        return jnp.sum(out * cot)
+
+    def split_loss(xp, w):
+        xt = jnp.swapaxes(xp, 0, 1)
+        # two chunks exercise the (dhn, dcn) cotangent seam between calls
+        o1, h1, c1 = _lstm_chunk_split(xt[:12], w, jnp.zeros((b, h)), jnp.zeros((b, h)), True)
+        o2, _, _ = _lstm_chunk_split(xt[12:], w, h1, c1, True)
+        out = jnp.swapaxes(jnp.concatenate([o1, o2], axis=0), 0, 1)
+        return jnp.sum(out * cot)
+
+    ref_dx, ref_dw = jax.grad(ref_loss, argnums=(0, 1))(xproj, w_hh)
+    out_dx, out_dw = jax.grad(split_loss, argnums=(0, 1))(xproj, w_hh)
+    np.testing.assert_allclose(np.asarray(out_dx), np.asarray(ref_dx), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_dw), np.asarray(ref_dw), atol=2e-4)
+
+
+def test_pallas_split_gradients_h1024():
+    """The real decoder size: H=1024 (w_hh 16MB > the 8MB VMEM gate, so
+    lstm_sequence auto-routes to the gate-split kernel) trains and matches
+    the scan gradients."""
+    from autovc_tpu.models.layers import _lstm_scan
+    from autovc_tpu.ops.pallas_lstm import _lstm_sequence
+
+    rng = np.random.RandomState(12)
+    b, t, h = 4, 6, 1024
+    xproj = jnp.asarray(rng.randn(b, t, 4 * h) * 0.1, jnp.float32)
+    w_hh = jnp.asarray(rng.randn(h, 4 * h) * 0.02, jnp.float32)
+
+    def ref_loss(xp, w):
+        return jnp.sum(
+            _lstm_scan(xp, w, jnp.zeros((b, h)), jnp.zeros((b, h)), False) ** 2
+        )
+
+    def pallas_loss(xp, w):
+        return jnp.sum(_lstm_sequence(xp, w, interpret=True) ** 2)
+
+    assert w_hh.size * 4 > 8 * 1024 * 1024  # really exercises the split path
+    ref_dx, ref_dw = jax.grad(ref_loss, argnums=(0, 1))(xproj, w_hh)
+    out_dx, out_dw = jax.grad(pallas_loss, argnums=(0, 1))(xproj, w_hh)
+    np.testing.assert_allclose(np.asarray(out_dx), np.asarray(ref_dx), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(out_dw), np.asarray(ref_dw), atol=5e-4)

@@ -245,3 +245,18 @@ def test_hifigan_gan_training_step(reference_dir):
     hist = trainer.gan_history
     assert all(np.isfinite(list(h.values())).all() for h in hist)
     assert hist[-1]["d_loss"] < hist[0]["d_loss"]  # D learns real-vs-fake
+
+
+def test_pallas_generation_matches_scan(tiny_params):
+    """The persistent Pallas generation kernel (f32 weights, interpret mode)
+    reproduces the scan engine sample-for-sample: same key -> same uniform
+    stream -> identical autoregressive trajectory."""
+    from autovc_tpu.vocoder.wavenet import WaveNetVocoder
+
+    voc = WaveNetVocoder(TINY, tiny_params)
+    mel = jnp.asarray(np.random.RandomState(0).rand(2, 4, 80), jnp.float32)
+    key = jax.random.PRNGKey(42)
+    w_scan = np.asarray(voc.generate(mel, key=key))
+    w_pallas = np.asarray(voc.generate(mel, key=key, engine="pallas"))
+    assert w_scan.shape == w_pallas.shape == (2, 4 * 256)
+    np.testing.assert_allclose(w_pallas, w_scan, atol=2e-4)
