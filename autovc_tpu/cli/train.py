@@ -56,6 +56,12 @@ def main(argv=None):
     )
     ap.add_argument("--ema", type=float, default=0.9999)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument(
+        "--run_id",
+        default=None,
+        help="wandb run id to resume into (reference main.py:67-68; requires "
+        "--wandb; wandb.init(resume='must', id=run_id))",
+    )
     ap.add_argument("--log_step", type=int, default=100)
     ap.add_argument("--checkpoint_step", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
@@ -133,6 +139,7 @@ def main(argv=None):
         ),
         main_dir=args.main_dir,
         run_name=run_name,
+        run_id=args.run_id,
     )
 
     feature_dir = os.path.join(args.main_dir, args.model_type)

@@ -192,6 +192,9 @@ class Config:
     # directories (reference main.py:56: --main_dir)
     main_dir: str = "."
     run_name: str = "run"
+    # wandb run id for resume (reference main.py:67-68 --run_id,
+    # solver_encoder.py:96-98: wandb.init(resume='must', id=run_id))
+    run_id: str | None = None
 
     def replace(self, **kw: Any) -> "Config":
         return dataclasses.replace(self, **kw)

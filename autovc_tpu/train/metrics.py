@@ -16,7 +16,14 @@ from typing import Any, Mapping
 
 
 class MetricsLogger:
-    def __init__(self, run_dir: str, run_name: str, use_wandb: bool = False, config=None):
+    def __init__(
+        self,
+        run_dir: str,
+        run_name: str,
+        use_wandb: bool = False,
+        config=None,
+        run_id: str | None = None,
+    ):
         os.makedirs(run_dir, exist_ok=True)
         self.path = os.path.join(run_dir, f"metrics_{run_name}.jsonl")
         self._f = open(self.path, "a", buffering=1)
@@ -30,10 +37,25 @@ class MetricsLogger:
                 if os.path.exists(token_file):
                     with open(token_file) as fh:
                         wandb.login(key=fh.readline().strip())
-                wandb.init(project="autovc-tpu", name=run_name, config=config)
+                # resume-by-run-id (reference solver_encoder.py:96-98:
+                # wandb.init(resume='must', id=run_id) when resuming)
+                kw = {}
+                if run_id:
+                    kw = dict(id=run_id, resume="must")
+                wandb.init(project="autovc-tpu", name=run_name, config=config, **kw)
                 self._wandb = wandb
             except Exception as e:  # pragma: no cover
                 print(f"[metrics] wandb unavailable ({e}); logging to JSONL only")
+
+    def alert(self, title: str, text: str) -> None:
+        """Out-of-band alert (reference solver_encoder.py:106-109 fires a
+        wandb.alert when training falls back to CPU). Console + wandb."""
+        print(f"[alert] {title}: {text}", flush=True)
+        if self._wandb is not None:
+            try:
+                self._wandb.alert(title=title, text=text)
+            except Exception:  # pragma: no cover - alert is best-effort
+                pass
 
     def log(self, step: int, metrics: Mapping[str, Any]) -> None:
         rec = {"step": step, "time": time.time() - self.start_time}

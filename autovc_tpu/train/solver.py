@@ -52,13 +52,17 @@ class Solver:
         self.mesh = mesh or make_mesh(
             data=cfg.train.data_parallel, model=cfg.train.model_parallel
         )
-        if jax.default_backend() == "cpu":
-            # the reference fires a wandb alert on CPU fallback
-            # (solver_encoder.py:106-109); we warn loudly
-            print("WARNING: training on CPU — no accelerator detected", flush=True)
         self.model = build_generator(cfg.model)
         self.optimizer = make_optimizer(cfg)
-        self.metrics = MetricsLogger(self.run_dir, cfg.run_name, use_wandb, cfg)
+        self.metrics = MetricsLogger(
+            self.run_dir, cfg.run_name, use_wandb, cfg, run_id=cfg.run_id
+        )
+        if jax.default_backend() == "cpu":
+            # the reference fires a wandb alert on CPU fallback
+            # (solver_encoder.py:106-109)
+            self.metrics.alert(
+                "CPU fallback", "training on CPU — no accelerator detected"
+            )
         self.plateau = (
             ReduceLROnPlateau(cfg.train.plateau_factor, cfg.train.plateau_patience)
             if cfg.train.lr_scheduler == "Plateau"
@@ -67,8 +71,16 @@ class Solver:
 
         self.ckpt_dir = os.path.abspath(os.path.join(self.run_dir, "checkpoints"))
         self.ckptr = ocp.CheckpointManager(
-            self.ckpt_dir, options=ocp.CheckpointManagerOptions(max_to_keep=3)
+            self.ckpt_dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=3,
+                # async: save() returns after the D2H snapshot; the disk write
+                # runs in a background thread (the train loop only blocks on a
+                # still-unfinished PREVIOUS save)
+                enable_async_checkpointing=True,
+            ),
         )
+        self.save_stall_ms: list[float] = []  # wall time train loop lost per save
 
         self.state = self._init_state()
         self._step_fn = self._compile_step()
@@ -82,31 +94,37 @@ class Solver:
     def _init_state(self) -> TrainState:
         x, emb = self._example_batch()
         rng = jax.random.PRNGKey(self.cfg.train.seed)
-        variables = self.model.init(rng, x, emb, emb, train=True)
-        params = variables["params"]
-        batch_stats = variables.get("batch_stats", {})
-        opt_state = self.optimizer.init(params)
-        state = TrainState(
-            step=jnp.asarray(0, jnp.int32),
-            params=params,
-            batch_stats=batch_stats,
-            opt_state=opt_state,
-            ema_params=init_ema(params),
-        )
-        # place on mesh: params replicated (or TP-sharded), ready for DP batches
+
+        def init_fn(x, emb):
+            variables = self.model.init(rng, x, emb, emb, train=True)
+            params = variables["params"]
+            return TrainState(
+                step=jnp.asarray(0, jnp.int32),
+                params=params,
+                batch_stats=variables.get("batch_stats", {}),
+                opt_state=self.optimizer.init(params),
+                ema_params=init_ema(params),
+            )
+
+        # Initialize INSIDE one jitted program with out_shardings: params are
+        # born on the mesh (replicated or TP-sharded) instead of eager
+        # single-device init followed by per-leaf reshard copies — minutes vs
+        # seconds on wide meshes, and persistent-cacheable.
         tp = (
             self.cfg.train.model_parallel > 1
             or dict(self.mesh.shape).get("model", 1) > 1
         )
-        psh = param_shardings(params, self.mesh, tensor_parallel=tp)
         rep = replicated(self.mesh)
-        state = TrainState(
-            step=jax.device_put(state.step, rep),
-            params=jax.device_put(state.params, psh),
-            batch_stats=jax.device_put(state.batch_stats, rep),
-            opt_state=jax.device_put(state.opt_state, rep),
-            ema_params=jax.device_put(state.ema_params, psh),
+        shapes = jax.eval_shape(init_fn, x, emb)
+        psh = param_shardings(shapes.params, self.mesh, tensor_parallel=tp)
+        state_sh = TrainState(
+            step=rep,
+            params=psh,
+            batch_stats=jax.tree_util.tree_map(lambda _: rep, shapes.batch_stats),
+            opt_state=jax.tree_util.tree_map(lambda _: rep, shapes.opt_state),
+            ema_params=psh,
         )
+        state = jax.jit(init_fn, out_shardings=state_sh)(x, emb)
         # resume (reference checkpoint-existence semantics,
         # solver_encoder.py:92-98,147-153)
         latest = self.ckptr.latest_step()
@@ -244,6 +262,16 @@ class Solver:
     # ------------------------------------------------------------ checkpoint
 
     def save(self, step: int):
+        import time as _time
+
+        t0 = _time.time()
+        self._save(step)
+        stall = (_time.time() - t0) * 1000.0
+        self.save_stall_ms.append(stall)
+        if stall > 2000:
+            print(f"[solver] checkpoint save blocked the loop {stall:.0f} ms")
+
+    def _save(self, step: int):
         self.ckptr.save(
             step,
             args=ocp.args.Composite(
