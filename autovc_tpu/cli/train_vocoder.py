@@ -63,6 +63,24 @@ def main(argv=None):
     ap.add_argument("--log_step", type=int, default=50)
     ap.add_argument("--out", default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--gan",
+        action="store_true",
+        help="hifigan: full adversarial objective (MPD+MSD + feature matching "
+        "+ mel L1) instead of reconstruction-only pretraining",
+    )
+    ap.add_argument(
+        "--init",
+        default=None,
+        help="warm-start generator from an .npz checkpoint (e.g. the "
+        "reconstruction-pretrained one, for --gan fine-tuning)",
+    )
+    ap.add_argument(
+        "--save_every",
+        type=int,
+        default=0,
+        help="also checkpoint to --out every N iters (0 = only at the end)",
+    )
     args = ap.parse_args(argv)
     apply_platform(args)
 
@@ -86,9 +104,30 @@ def main(argv=None):
                 )
 
     else:
-        from autovc_tpu.vocoder.train_hifigan import HiFiGANTrainer, hifigan_crop_batch
+        from autovc_tpu.vocoder.train_hifigan import (
+            HiFiGANGANTrainer,
+            HiFiGANTrainer,
+            hifigan_crop_batch,
+        )
 
-        trainer = HiFiGANTrainer(cfg.hifigan, cfg.audio, lr=args.lr or 2e-4, seed=args.seed)
+        init_params = None
+        if args.init:
+            from autovc_tpu.vocoder.wavenet import unflatten_params
+
+            init_params = unflatten_params(dict(np.load(args.init)))
+            print(f"[train_vocoder] warm-start generator from {args.init}")
+        if args.gan:
+            trainer = HiFiGANGANTrainer(
+                cfg.hifigan, cfg.audio, lr=args.lr or 2e-4, seed=args.seed,
+                generator_params=init_params,
+            )
+        else:
+            trainer = HiFiGANTrainer(
+                cfg.hifigan, cfg.audio, lr=args.lr or 2e-4, seed=args.seed
+            )
+            if init_params is not None:
+                trainer.params = init_params
+                trainer.opt_state = trainer.optimizer.init(trainer.params)
 
         def batches():
             while True:
@@ -96,8 +135,18 @@ def main(argv=None):
                     wavs, mels, args.batch_size, args.frames, cfg.audio.hop_length, rng
                 )
 
-    trainer.train(batches(), args.num_iters, log_step=args.log_step)
-    trainer.save(out)
+    train_fn = trainer.train_gan if (args.vocoder == "hifigan" and args.gan) else trainer.train
+    if args.save_every and args.save_every < args.num_iters:
+        done = 0
+        while done < args.num_iters:
+            chunk = min(args.save_every, args.num_iters - done)
+            train_fn(batches(), chunk, log_step=args.log_step)
+            done += chunk
+            trainer.save(out)
+            print(f"[train_vocoder] checkpointed {out} @ {done}/{args.num_iters}")
+    else:
+        train_fn(batches(), args.num_iters, log_step=args.log_step)
+        trainer.save(out)
     print(f"[train_vocoder] saved {out}")
 
 

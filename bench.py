@@ -64,13 +64,31 @@ def main():
     e_src = np.tile(emb_src, (B, 1)).astype(np.float32)
     e_trg = np.tile(emb_trg, (B, 1)).astype(np.float32)
 
-    # --- models (random init: identical compute cost to trained weights)
+    # --- models: trained artifacts when present (artifacts/ is the documented
+    # path, produced by cli.export_ckpt + cli.train_vocoder), random init
+    # fallback (identical compute cost — shapes and weights drive it)
+    import os
+
+    art_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
+    gen_art = os.path.join(art_dir, "generator_spmel.npz")
+    voc_art = os.path.join(art_dir, "hifigan.npz")
+
     model = build_generator(cfg.model)
-    variables = model.init(
-        jax.random.PRNGKey(0), jnp.asarray(x[:1]), jnp.asarray(e_src[:1]),
-        jnp.asarray(e_trg[:1]), train=False,
+    if os.path.exists(gen_art):
+        from autovc_tpu.cli.export_ckpt import load_artifact
+
+        variables, step = load_artifact(gen_art)
+        log(f"generator weights: {gen_art} (trained, step {step})")
+    else:
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(x[:1]), jnp.asarray(e_src[:1]),
+            jnp.asarray(e_trg[:1]), train=False,
+        )
+        log("generator weights: random init (no artifact found)")
+    voc = HiFiGANVocoder.from_checkpoint(
+        cfg.hifigan, voc_art if os.path.exists(voc_art) else None
     )
-    voc = HiFiGANVocoder(cfg.hifigan)
+    log(f"vocoder weights: {voc_art if os.path.exists(voc_art) else 'random init'}")
 
     @jax.jit
     def e2e(variables, voc_params, x, es, et):
