@@ -87,12 +87,15 @@ def main(argv=None):
     if args.multihost:
         import jax
 
-        kw = {}
+        # generous shutdown barrier: the checkpoint-writing process (0) can
+        # lag the others by minutes on slow/contended filesystems, and the
+        # default 300s barrier kills every process when it trips
+        kw = dict(shutdown_timeout_seconds=1800)
         coord = os.environ.get("AUTOVC_COORDINATOR")
         if coord:
             # explicit coordination (CPU tests / non-TPU clusters); TPU pods
             # auto-detect from metadata when these env vars are absent
-            kw = dict(
+            kw.update(
                 coordinator_address=coord,
                 num_processes=int(os.environ["AUTOVC_NUM_PROCESSES"]),
                 process_id=int(os.environ["AUTOVC_PROCESS_ID"]),
