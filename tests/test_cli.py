@@ -138,3 +138,18 @@ def test_make_spect_device_path(tiny_corpus, tmp_path):
             b = np.load(os.path.join(ref_d, f))
             assert a.shape == b.shape
             assert np.abs(a - b).max() < 1e-2
+
+
+def test_evaluate_vocoder_cli(tiny_corpus, tmp_path, capsys):
+    from autovc_tpu.cli.evaluate_vocoder import main
+
+    out = tmp_path / "voc_eval.jsonl"
+    main([
+        "--platform", "cpu",
+        "--spmel_dir", os.path.join(tiny_corpus, "spmel"),
+        "--vocoder", "griffinlim", "--gl_iters", "4",
+        "--max_utts", "1", "--out", str(out),
+    ])
+    rec = json.loads(out.read_text().strip())
+    assert rec["vocoder"] == "griffinlim" and rec["utterances"] == 1
+    assert 0.0 < rec["mel_l1_mean"] < 0.2  # GL at 4 iters is rough but sane
