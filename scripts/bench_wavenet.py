@@ -1,0 +1,72 @@
+"""WaveNet generation throughput: scan vs persistent-Pallas engines.
+
+Honest timing through the axon tunnel: every timed iteration fetches a
+slice of the result to host (block_until_ready alone may not sync).
+
+Usage: python scripts/bench_wavenet.py [--frames 32] [--batches 1,4,16,64]
+           [--engines scan,pallas] [--dtypes float32,bfloat16] [--reps 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
+    ap.add_argument("--frames", type=int, default=32, help="mel frames (x256 samples)")
+    ap.add_argument("--batches", default="1,4,16")
+    ap.add_argument("--engines", default="scan,pallas")
+    ap.add_argument("--dtypes", default="float32")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from autovc_tpu.config import Config
+    from autovc_tpu.vocoder.wavenet import WaveNetVocoder
+
+    cfg = Config().wavenet
+    voc = WaveNetVocoder.from_checkpoint(cfg, None)
+    sr = 16000
+    rng = np.random.RandomState(0)
+
+    for engine in args.engines.split(","):
+        for dt in args.dtypes.split(","):
+            dtype = jnp.bfloat16 if dt == "bfloat16" else jnp.float32
+            for b in (int(x) for x in args.batches.split(",")):
+                mel = rng.rand(b, args.frames, 80).astype(np.float32)
+                key = jax.random.PRNGKey(0)
+                t0 = time.time()
+                y = voc.generate(mel, key=key, dtype=dtype, engine=engine)
+                _ = np.asarray(y[:, :8])  # forces full D2H sync
+                compile_s = time.time() - t0
+                times = []
+                for _ in range(args.reps):
+                    t0 = time.time()
+                    y = voc.generate(mel, key=key, dtype=dtype, engine=engine)
+                    _ = np.asarray(y[:, :8])
+                    times.append(time.time() - t0)
+                best = min(times)
+                n_samples = b * args.frames * 256
+                print(json.dumps({
+                    "engine": engine, "dtype": dt, "batch": b,
+                    "frames": args.frames,
+                    "samples_per_s": round(n_samples / best),
+                    "rt_factor_per_stream": round(n_samples / best / sr / b, 2),
+                    "best_s": round(best, 3),
+                    "compile_s": round(compile_s, 1),
+                }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
