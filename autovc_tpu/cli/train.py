@@ -81,6 +81,13 @@ def main(argv=None):
         "much faster TPU compiles at equal step time)",
     )
     ap.add_argument("--wandb", action="store_true")
+    ap.add_argument(
+        "--export",
+        default=None,
+        help="after training, write final params to this .npz (process 0 "
+        "only) — a distributable artifact like cli.export_ckpt's, but taken "
+        "straight from memory (no orbax round-trip, topology-independent)",
+    )
     args = ap.parse_args(argv)
     apply_platform(args)
 
@@ -103,6 +110,16 @@ def main(argv=None):
             if args.platform == "cpu":
                 jax.config.update("jax_cpu_collectives_implementation", "gloo")
         jax.distributed.initialize(**kw)
+        if args.data_parallel == 1:
+            # multihost default: the mesh must span every process's devices
+            # (a 1x1 mesh would pin all state to global device 0, leaving the
+            # other processes with nothing addressable); data-parallel over
+            # all devices not claimed by model parallelism
+            args.data_parallel = jax.device_count() // args.model_parallel
+            print(
+                f"[train] multihost: data_parallel -> {args.data_parallel} "
+                f"({jax.process_count()} processes, {jax.device_count()} devices)"
+            )
 
     if args.len_crop is None:
         from autovc_tpu.config import wav_len_crop
@@ -176,6 +193,36 @@ def main(argv=None):
 
     solver = Solver(cfg, it, use_wandb=args.wandb)
     solver.train()
+    if args.export:
+        import jax
+        import numpy as np
+
+        from autovc_tpu.vocoder.wavenet import flatten_params
+
+        params = solver.state.params
+        if jax.process_count() > 1:
+            # collective: EVERY process participates; gathers TP-sharded
+            # leaves to full host arrays
+            from jax.experimental import multihost_utils as mhu
+
+            params = mhu.process_allgather(params, tiled=True)
+        if jax.process_index() == 0:
+            flat = {
+                k: np.asarray(v)
+                for k, v in flatten_params(params, "params").items()
+            }
+            np.savez(args.export, **flat)
+            print(f"[train] exported params -> {args.export}")
+    if args.multihost:
+        # orderly exit: every process reaches this barrier with all
+        # checkpoint work finished (solver.train ends in finish_saves), then
+        # disconnects gracefully — otherwise the fastest process's abrupt
+        # exit aborts peers' in-flight collectives
+        import jax
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("autovc:train_exit")
+        jax.distributed.shutdown()
 
 
 if __name__ == "__main__":

@@ -53,9 +53,14 @@ class DevicePrefetcher:
                 continue
             from autovc_tpu.parallel.mesh import put_global_batch
 
-            put = jax.tree_util.tree_map(
-                lambda x: put_global_batch(x, self._sharding), tuple(batch)
-            )
+            try:
+                put = jax.tree_util.tree_map(
+                    lambda x: put_global_batch(x, self._sharding), tuple(batch)
+                )
+            except Exception as exc:  # device_put can fail too (e.g. during
+                if not self._put(exc):  # runtime teardown) — forward, don't
+                    return  # kill the thread with an unhandled exception
+                continue
             if not self._put(put):
                 return
 
@@ -71,4 +76,15 @@ class DevicePrefetcher:
         return item
 
     def close(self):
+        """Stop and JOIN the worker. The join matters in multi-process runs:
+        a worker mid-`jax.device_put` while the main thread tears down
+        jax.distributed crashes into the half-finalized runtime, and its
+        process then aborts the peers' in-flight collectives."""
         self._stop.set()
+        # drain so a worker blocked on a full queue can see the stop flag
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=60.0)

@@ -52,6 +52,16 @@ class Solver:
         self.mesh = mesh or make_mesh(
             data=cfg.train.data_parallel, model=cfg.train.model_parallel
         )
+        if jax.process_count() > 1 and not any(
+            d.process_index == jax.process_index()
+            for d in self.mesh.devices.flat
+        ):
+            raise ValueError(
+                f"mesh {dict(self.mesh.shape)} holds no device of process "
+                f"{jax.process_index()}/{jax.process_count()} — in multi-"
+                f"process runs the mesh must span every process's devices "
+                f"(e.g. data_parallel={jax.device_count()})"
+            )
         self.model = build_generator(cfg.model)
         self.optimizer = make_optimizer(cfg)
         self.metrics = MetricsLogger(
@@ -76,11 +86,18 @@ class Solver:
                 max_to_keep=3,
                 # async: save() returns after the D2H snapshot; the disk write
                 # runs in a background thread (the train loop only blocks on a
-                # still-unfinished PREVIOUS save)
-                enable_async_checkpointing=True,
+                # still-unfinished PREVIOUS save). Single-process only:
+                # orbax's async finalize issues its own cross-process syncs
+                # (jax device collectives) from background threads, which
+                # interleave nondeterministically with train-step collectives
+                # across processes — multi-process runs save synchronously.
+                enable_async_checkpointing=jax.process_count() == 1,
             ),
         )
         self.save_stall_ms: list[float] = []  # wall time train loop lost per save
+        self._snap_fn = None  # jitted on-device state copy (built lazily)
+        self._save_thread = None  # at most one orbax save in flight
+        self._save_error: Exception | None = None
 
         self.state = self._init_state()
         self._step_fn = self._compile_step()
@@ -256,7 +273,7 @@ class Solver:
             prefetcher.close()
         for sig, h in old_handlers.items():
             signal.signal(sig, h)
-        self.ckptr.wait_until_finished()
+        self.finish_saves()
         return last_metrics
 
     # ------------------------------------------------------------ checkpoint
@@ -272,20 +289,70 @@ class Solver:
             print(f"[solver] checkpoint save blocked the loop {stall:.0f} ms")
 
     def _save(self, step: int):
+        """Snapshot-then-save: orbax's "async" save still performs the
+        device-to-host fetch synchronously — ~20s of train-loop stall for this
+        model's 456MB state on a tunnel-attached TPU (measured; only the disk
+        write happens in orbax's background thread). We instead take an
+        ON-DEVICE copy of the state (milliseconds of HBM bandwidth) and run
+        the whole orbax save — D2H fetch included — in a worker thread. The
+        copy is required for correctness: the train step donates the state
+        buffers, so by the time the thread fetches them the originals have
+        been reused; the snapshot gives the thread its own buffers. One save
+        in flight at a time (next save joins the previous).
+
+        Multi-process runs save synchronously: orbax's save() begins with a
+        sync_global_processes collective, and collectives issued from a
+        background thread interleave nondeterministically with the main
+        thread's train-step collectives across processes (observed as
+        'sync_global_devices name mismatch' aborts)."""
+        if jax.process_count() > 1:
+            self._orbax_save(step, self.state)
+            return
+        if self._snap_fn is None:
+            self._snap_fn = jax.jit(
+                lambda s: jax.tree_util.tree_map(jnp.copy, s)
+            )
+        snap = self._snap_fn(self.state)
+        if self._save_thread is not None:
+            self._save_thread.join()
+
+        def _bg():
+            try:
+                self._orbax_save(step, snap)
+            except Exception as exc:  # pragma: no cover - surfaced at join
+                self._save_error = exc
+
+        import threading
+
+        self._save_thread = threading.Thread(target=_bg, daemon=True)
+        self._save_thread.start()
+
+    def _orbax_save(self, step: int, state: TrainState):
         self.ckptr.save(
             step,
             args=ocp.args.Composite(
                 state=ocp.args.StandardSave(
                     {
-                        "params": self.state.params,
-                        "batch_stats": self.state.batch_stats,
-                        "opt_state": self.state.opt_state,
-                        "ema_params": self.state.ema_params,
-                        "step": self.state.step,
+                        "params": state.params,
+                        "batch_stats": state.batch_stats,
+                        "opt_state": state.opt_state,
+                        "ema_params": state.ema_params,
+                        "step": state.step,
                     }
                 )
             ),
         )
+
+    def finish_saves(self):
+        """Block until every in-flight checkpoint (thread + orbax background
+        write) has committed; re-raise a save error if one occurred."""
+        if self._save_thread is not None:
+            self._save_thread.join()
+            self._save_thread = None
+        self.ckptr.wait_until_finished()
+        if self._save_error is not None:
+            exc, self._save_error = self._save_error, None
+            raise exc
 
     def restore(self, step: int, like: TrainState) -> TrainState:
         target = {

@@ -41,7 +41,7 @@ def _child_env() -> dict:
     return env
 
 
-def _train_cmd(main_dir: str, run_name: str, num_iters: int) -> list:
+def _train_cmd(main_dir: str, run_name: str, num_iters: int, export: str) -> list:
     return [
         sys.executable, "-m", "autovc_tpu.cli.train",
         "--platform", "cpu",
@@ -54,20 +54,8 @@ def _train_cmd(main_dir: str, run_name: str, num_iters: int) -> list:
         "--num_iters", str(num_iters),
         "--log_step", str(num_iters),
         "--checkpoint_step", str(num_iters),
+        "--export", export,
     ]
-
-
-def _restore_params(main_dir: str, run_name: str, step: int):
-    import orbax.checkpoint as ocp
-
-    ckpt_dir = os.path.abspath(
-        os.path.join(main_dir, "runs", run_name, "checkpoints")
-    )
-    with ocp.CheckpointManager(ckpt_dir) as mgr:
-        restored = mgr.restore(
-            step, args=ocp.args.Composite(state=ocp.args.StandardRestore())
-        )["state"]
-    return restored["params"]
 
 
 @pytest.fixture()
@@ -84,35 +72,33 @@ def test_two_process_training_matches_single_process(corpus_dir):
     env["AUTOVC_COORDINATOR"] = f"localhost:{port}"
     env["AUTOVC_NUM_PROCESSES"] = "2"
 
+    mh_npz = os.path.join(corpus_dir, "mh_params.npz")
+    solo_npz = os.path.join(corpus_dir, "solo_params.npz")
     procs = []
     for pid in range(2):
         e = dict(env, AUTOVC_PROCESS_ID=str(pid))
         procs.append(
             subprocess.Popen(
-                _train_cmd(corpus_dir, "mh", n_iters) + ["--multihost"],
+                _train_cmd(corpus_dir, "mh", n_iters, mh_npz) + ["--multihost"],
                 env=e, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             )
         )
     outs = [p.communicate(timeout=600)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"multihost child failed:\n{out[-3000:]}"
+    # the children must have run a REAL 2-process mesh, not two solo meshes
+    assert "data_parallel -> 2" in outs[0], outs[0][-2000:]
 
     # single-process reference with the identical seeded batch stream
     p = subprocess.run(
-        _train_cmd(corpus_dir, "solo", n_iters),
+        _train_cmd(corpus_dir, "solo", n_iters, solo_npz),
         env=_child_env(), stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True, timeout=600,
     )
     assert p.returncode == 0, f"single-process run failed:\n{p.stdout[-3000:]}"
 
-    mh = _restore_params(corpus_dir, "mh", n_iters)
-    solo = _restore_params(corpus_dir, "solo", n_iters)
-    import jax
-
-    la, lb = jax.tree_util.tree_leaves(mh), jax.tree_util.tree_leaves(solo)
-    assert len(la) == len(lb) and len(la) > 0
-    worst = max(
-        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
-        for a, b in zip(la, lb)
-    )
+    mh = dict(np.load(mh_npz))
+    solo = dict(np.load(solo_npz))
+    assert set(mh) == set(solo) and len(mh) > 0
+    worst = max(float(np.max(np.abs(mh[k] - solo[k]))) for k in mh)
     assert worst < 1e-3, f"multihost params diverged from single-process: {worst}"
