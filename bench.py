@@ -71,6 +71,8 @@ def main():
 
     art_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
     gen_art = os.path.join(art_dir, "generator_spmel.npz")
+    if not os.path.exists(gen_art):  # the repo ships the f16 artifact
+        gen_art = os.path.join(art_dir, "generator_spmel_f16.npz")
     voc_art = os.path.join(art_dir, "hifigan.npz")
 
     model = build_generator(cfg.model)
