@@ -81,6 +81,13 @@ def main(argv=None):
         default=0,
         help="also checkpoint to --out every N iters (0 = only at the end)",
     )
+    ap.add_argument(
+        "--feat_weight",
+        type=float,
+        default=0.0,
+        help="hifigan: extra L1 on the framework's normalized mel features — "
+        "the exact evaluate_vocoder metric (useful for fidelity polishing)",
+    )
     args = ap.parse_args(argv)
     apply_platform(args)
 
@@ -119,11 +126,12 @@ def main(argv=None):
         if args.gan:
             trainer = HiFiGANGANTrainer(
                 cfg.hifigan, cfg.audio, lr=args.lr or 2e-4, seed=args.seed,
-                generator_params=init_params,
+                feat_weight=args.feat_weight, generator_params=init_params,
             )
         else:
             trainer = HiFiGANTrainer(
-                cfg.hifigan, cfg.audio, lr=args.lr or 2e-4, seed=args.seed
+                cfg.hifigan, cfg.audio, lr=args.lr or 2e-4, seed=args.seed,
+                feat_weight=args.feat_weight,
             )
             if init_params is not None:
                 trainer.params = init_params

@@ -46,6 +46,20 @@ def log_mel_l1(y_hat: jax.Array, y: jax.Array, basis: jax.Array, audio: AudioCon
     return jnp.mean(jnp.abs(jnp.log(mh + 1e-5) - jnp.log(m + 1e-5)))
 
 
+def feature_mel_l1(y_hat: jax.Array, y: jax.Array, basis: jax.Array, audio: AudioConfig):
+    """L1 on the FRAMEWORK's normalized mel features (normalize_db of mel) —
+    the exact metric `cli.evaluate_vocoder` reports, so training can optimize
+    the yardstick directly (the dB clamp compresses differently from plain
+    log, so log-mel L1 alone leaves this metric on the table)."""
+    from autovc_tpu.dsp.features import normalize_db
+
+    mh = stft_magnitude(y_hat, audio.n_fft, audio.hop_length) @ basis
+    m = stft_magnitude(y, audio.n_fft, audio.hop_length) @ basis
+    fh = normalize_db(mh, audio.ref_level_db, audio.min_level_db)
+    f = normalize_db(m, audio.ref_level_db, audio.min_level_db)
+    return jnp.mean(jnp.abs(fh - f))
+
+
 class HiFiGANTrainer:
     def __init__(
         self,
@@ -53,6 +67,7 @@ class HiFiGANTrainer:
         audio: AudioConfig = AudioConfig(),
         lr: float = 2e-4,
         mel_weight: float = 45.0 / 45.0,
+        feat_weight: float = 0.0,
         seed: int = 0,
     ):
         self.cfg = cfg
@@ -71,10 +86,13 @@ class HiFiGANTrainer:
         def step_fn(params, opt_state, mel, y):
             def loss_fn(p):
                 y_hat = self.model.apply({"params": p}, mel)
-                return (
+                loss = (
                     mel_weight * log_mel_l1(y_hat, y, basis, audio)
                     + multi_resolution_stft_loss(y_hat, y)
                 )
+                if feat_weight:
+                    loss = loss + feat_weight * feature_mel_l1(y_hat, y, basis, audio)
+                return loss
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
@@ -118,6 +136,7 @@ class HiFiGANGANTrainer(HiFiGANTrainer):
         lr: float = 2e-4,
         mel_weight: float = 45.0,
         fm_weight: float = 2.0,
+        feat_weight: float = 0.0,
         seed: int = 0,
         generator_params=None,
     ):
@@ -166,7 +185,10 @@ class HiFiGANGANTrainer(HiFiGANTrainer):
                 adv = generator_adversarial_loss(fake_s)
                 fm = feature_matching_loss(real_f, fake_f)
                 mel_l = log_mel_l1(y_hat, y, basis, audio)
-                return adv + fm_weight * fm + mel_weight * mel_l, (adv, fm, mel_l)
+                g = adv + fm_weight * fm + mel_weight * mel_l
+                if feat_weight:
+                    g = g + feat_weight * feature_mel_l1(y_hat, y, basis, audio)
+                return g, (adv, fm, mel_l)
 
             (g_loss, (adv, fm, mel_l)), g_grads = jax.value_and_grad(
                 g_loss_fn, has_aux=True
