@@ -96,21 +96,21 @@ def _wavenet_kernel(
     gates = (
         jnp.dot(x_all, w3_ref[0], preferred_element_type=jnp.float32)
         + jnp.dot(cond_ref[0].astype(dtype), wcond_ref[0], preferred_element_type=jnp.float32)
-        + bg_ref[0][None, :]
+        + bg_ref[0, 0][None, :]
     )  # (B, G) f32
     z = (jnp.tanh(gates[:, :g2]) * jax.nn.sigmoid(gates[:, g2:])).astype(dtype)
 
     skip_s[:] = (
         skip_s[:]
         + jnp.dot(z, wskip_ref[0], preferred_element_type=jnp.float32)
-        + bs_ref[0][None, :]
+        + bs_ref[0, 0][None, :]
     ) * SQRT_HALF
     # store this layer's INPUT into the slot just consumed (x[t-2d]'s slot)
     rbuf[pl.ds(off + slot, 1)] = h[None]
     h_s[:] = (
         h_s[:]
         + jnp.dot(z, wout_ref[0], preferred_element_type=jnp.float32)
-        + bo_ref[0][None, :]
+        + bo_ref[0, 0][None, :]
     ) * SQRT_HALF
 
     @pl.when(l == n_layers - 1)
@@ -125,7 +125,7 @@ def _wavenet_kernel(
             + l2b_ref[0][None, :]
         )
         x_t = _sample_mol(logits, unif_ref[0], log_scale_min)
-        y_ref[0] = x_t
+        y_ref[0, 0] = x_t
         xprev_s[0] = x_t
 
 
@@ -143,9 +143,12 @@ def pack_weights(params: dict, n_layers: int, dtype=jnp.bfloat16) -> dict:
         "wcond": jnp.stack([cast(p["w_cond"]) for p in lp]),  # (L, C, G)
         "wout": jnp.stack([cast(p["w_out"]) for p in lp]),    # (L, G/2, R)
         "wskip": jnp.stack([cast(p["w_skip"]) for p in lp]),  # (L, G/2, S)
-        "bg": jnp.stack([jnp.asarray(p["bias"], jnp.float32) for p in lp]),
-        "bo": jnp.stack([jnp.asarray(p["b_out"], jnp.float32) for p in lp]),
-        "bs": jnp.stack([jnp.asarray(p["b_skip"], jnp.float32) for p in lp]),
+        # biases as (L, 1, dim): a (1, 1, dim) block's last two dims equal the
+        # array's, satisfying Mosaic's tiling rule (a 2D (1, dim) block off a
+        # (L, dim) array has an illegal sublane extent of 1)
+        "bg": jnp.stack([jnp.asarray(p["bias"], jnp.float32) for p in lp])[:, None, :],
+        "bo": jnp.stack([jnp.asarray(p["b_out"], jnp.float32) for p in lp])[:, None, :],
+        "bs": jnp.stack([jnp.asarray(p["b_skip"], jnp.float32) for p in lp])[:, None, :],
         "fk": jnp.asarray(params["first_conv"]["kernel"], jnp.float32),  # (1, R)
         "fb": jnp.asarray(params["first_conv"]["bias"], jnp.float32)[None],  # (1, R)
         "l1k": jnp.asarray(params["last1"]["kernel"], jnp.float32),
@@ -192,7 +195,7 @@ def generate_pallas(
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     layer2 = lambda d0, d1: pl.BlockSpec((1, d0, d1), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM)
-    layer1 = lambda d0: pl.BlockSpec((1, d0), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+    layer1 = lambda d0: pl.BlockSpec((1, 1, d0), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM)
     const2 = lambda d0, d1: pl.BlockSpec((d0, d1), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
     time2 = lambda d0, d1: pl.BlockSpec((1, d0, d1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
 
@@ -215,8 +218,9 @@ def generate_pallas(
             time2(bp, c),                           # cond
             time2(bp, ku),                          # uniforms
         ],
-        out_specs=pl.BlockSpec((1, bp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, bp), jnp.float32),
+        # (T, 1, B) so the (1, 1, B) block's last two dims equal the array's
+        out_specs=pl.BlockSpec((1, 1, bp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, 1, bp), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((total_slots, bp, r), dtype),  # dilation ring buffers
             pltpu.VMEM((1, bp), jnp.float32),         # previous sample
@@ -232,4 +236,4 @@ def generate_pallas(
         packed["l2k"], packed["l2b"],
         cond_t, unif_t,
     )
-    return jnp.swapaxes(y, 0, 1)[:b]
+    return jnp.swapaxes(y[:, 0, :], 0, 1)[:b]
