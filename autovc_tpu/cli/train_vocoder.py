@@ -128,6 +128,15 @@ def main(argv=None):
                 cfg.hifigan, cfg.audio, lr=args.lr or 2e-4, seed=args.seed,
                 feat_weight=args.feat_weight, generator_params=init_params,
             )
+            # resume discriminators + optimizer states if the sibling
+            # train-state file exists (written by --save_every below), so an
+            # interrupted GAN fine-tune keeps its training dynamics
+            if args.init and os.path.exists(args.init + ".train_state.npz"):
+                trainer.restore_train_state(args.init + ".train_state.npz")
+                print(
+                    f"[train_vocoder] restored GAN train state from "
+                    f"{args.init}.train_state.npz"
+                )
         else:
             trainer = HiFiGANTrainer(
                 cfg.hifigan, cfg.audio, lr=args.lr or 2e-4, seed=args.seed,
@@ -151,10 +160,14 @@ def main(argv=None):
             train_fn(batches(), chunk, log_step=args.log_step)
             done += chunk
             trainer.save(out)
+            if args.vocoder == "hifigan" and args.gan:
+                trainer.save_train_state(out + ".train_state.npz")
             print(f"[train_vocoder] checkpointed {out} @ {done}/{args.num_iters}")
     else:
         train_fn(batches(), args.num_iters, log_step=args.log_step)
         trainer.save(out)
+        if args.vocoder == "hifigan" and args.gan:
+            trainer.save_train_state(out + ".train_state.npz")
     print(f"[train_vocoder] saved {out}")
 
 

@@ -88,3 +88,17 @@ class DevicePrefetcher:
         except queue.Empty:
             pass
         self._thread.join(timeout=60.0)
+        if self._thread.is_alive():
+            # A worker stuck inside next(self._it) (stalled host iterator)
+            # survived the join — make the leak visible: in multihost
+            # teardown a live worker re-opens exactly the
+            # mid-device_put-during-shutdown crash this join prevents.
+            import warnings
+
+            warnings.warn(
+                "DevicePrefetcher worker still alive after 60s join — the "
+                "wrapped host iterator is blocked; runtime teardown may race "
+                "an in-flight device_put",
+                RuntimeWarning,
+                stacklevel=2,
+            )

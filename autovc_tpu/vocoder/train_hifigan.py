@@ -200,6 +200,39 @@ class HiFiGANGANTrainer(HiFiGANTrainer):
 
         self._gan_step = jax.jit(gan_step, donate_argnums=(0, 1, 2, 3))
 
+    def save_train_state(self, path: str):
+        """Persist the full GAN training state (discriminators + both
+        optimizer states) alongside the generator checkpoint, so an
+        interrupted adversarial fine-tune resumes with identical dynamics
+        instead of silently re-initializing MPD/MSD and Adam moments."""
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        g_opt = jax.tree_util.tree_leaves(self.opt_state)
+        d_opt = jax.tree_util.tree_leaves(self.d_opt_state)
+        np.savez(
+            path,
+            **{f"d/{k}": v for k, v in flatten_params(self.d_params).items()},
+            **{f"g_opt/{i:04d}": np.asarray(v) for i, v in enumerate(g_opt)},
+            **{f"d_opt/{i:04d}": np.asarray(v) for i, v in enumerate(d_opt)},
+        )
+
+    def restore_train_state(self, path: str):
+        from autovc_tpu.vocoder.wavenet import unflatten_params
+
+        z = dict(np.load(path))
+        self.d_params = unflatten_params(
+            {k[2:]: v for k, v in z.items() if k.startswith("d/")}
+        )
+        for attr, pref in (("opt_state", "g_opt/"), ("d_opt_state", "d_opt/")):
+            keys = sorted(k for k in z if k.startswith(pref))
+            treedef = jax.tree_util.tree_structure(getattr(self, attr))
+            setattr(
+                self,
+                attr,
+                jax.tree_util.tree_unflatten(
+                    treedef, [jnp.asarray(z[k]) for k in keys]
+                ),
+            )
+
     def train_gan(self, batches: Iterator, num_iters: int, log_step: int = 50):
         t0 = time.time()
         for i in range(1, num_iters + 1):

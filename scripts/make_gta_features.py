@@ -65,9 +65,12 @@ def main():
                 continue
             mel = np.load(os.path.join(d, fn))
             t = mel.shape[0]
-            # pad to a coarse bucket (multiple of 128 >= freq=32): one
-            # compiled program per bucket instead of one per utterance
-            pad = (-t) % 128
+            # pad exactly as the dense Converter does (to freq=32, the
+            # reference-faithful default): the backward LSTM sees the same
+            # zero-frame tail here as at inference, so GTA mels match what
+            # conversion actually produces. More compile buckets, but the
+            # programs are small and the train/test match is the point.
+            pad = (-t) % 32
             x = np.pad(mel, ((0, pad), (0, 0)))[None]
             y = np.asarray(recon(jnp.asarray(x), e))[0, :t]
             np.save(os.path.join(args.out_dir, spk, fn), y.astype(np.float32))

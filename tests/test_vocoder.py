@@ -175,6 +175,7 @@ def test_hifigan_batched():
     assert wav.shape == (2, 4 * 256)
 
 
+@pytest.mark.slow
 def test_wavenet_trainer_loss_decreases(tmp_path, reference_dir):
     """Tiny WaveNet learns on a real utterance: NLL decreases and the EMA
     checkpoint round-trips through WaveNetVocoder.from_checkpoint."""
@@ -200,6 +201,7 @@ def test_wavenet_trainer_loss_decreases(tmp_path, reference_dir):
     assert np.isfinite(np.asarray(wav)).all()
 
 
+@pytest.mark.slow
 def test_hifigan_trainer_loss_decreases(tmp_path, reference_dir):
     from autovc_tpu.dsp import read_wav
     from autovc_tpu.vocoder.train_hifigan import HiFiGANTrainer, hifigan_crop_batch
@@ -225,6 +227,7 @@ def test_hifigan_trainer_loss_decreases(tmp_path, reference_dir):
     assert np.isfinite(np.asarray(wav)).all()
 
 
+@pytest.mark.slow
 def test_hifigan_gan_training_step(reference_dir):
     """Adversarial fine-tuning runs: D learns (loss drops), G stays finite,
     mel term keeps improving or holding."""
@@ -245,6 +248,49 @@ def test_hifigan_gan_training_step(reference_dir):
     hist = trainer.gan_history
     assert all(np.isfinite(list(h.values())).all() for h in hist)
     assert hist[-1]["d_loss"] < hist[0]["d_loss"]  # D learns real-vs-fake
+
+
+def test_hifigan_gan_train_state_roundtrip(tmp_path):
+    """save_train_state/restore_train_state preserve discriminators and both
+    optimizer states exactly, so an interrupted GAN fine-tune resumes with
+    identical training dynamics (not re-initialized Adam moments/MPD/MSD).
+    Optimizer states are perturbed in place instead of trained — value-level
+    restore coverage without the multi-minute GAN-step compile."""
+    from autovc_tpu.vocoder.train_hifigan import HiFiGANGANTrainer
+
+    cfg = HiFiGANConfig(upsample_initial_channel=32)
+
+    a = HiFiGANGANTrainer(cfg, lr=2e-4, seed=5)
+    counter = [0]
+
+    def perturb(x):
+        counter[0] += 1
+        r = np.random.RandomState(counter[0]).standard_normal(np.shape(x))
+        return jnp.asarray(r, jnp.asarray(x).dtype)
+
+    a.opt_state = jax.tree_util.tree_map(perturb, a.opt_state)
+    a.d_opt_state = jax.tree_util.tree_map(perturb, a.d_opt_state)
+    state_path = str(tmp_path / "hg.npz.train_state.npz")
+    a.save_train_state(state_path)
+
+    b = HiFiGANGANTrainer(cfg, lr=2e-4, seed=99)  # different init
+    b.params = a.params  # generator ckpt restored separately (trainer.save)
+    b.opt_state = b.optimizer.init(b.params)
+    b.restore_train_state(state_path)
+
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves(a.d_params), jax.tree_util.tree_leaves(b.d_params)
+    ):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    for oa, ob in zip(
+        jax.tree_util.tree_leaves(a.opt_state), jax.tree_util.tree_leaves(b.opt_state)
+    ):
+        np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
+    for oa, ob in zip(
+        jax.tree_util.tree_leaves(a.d_opt_state),
+        jax.tree_util.tree_leaves(b.d_opt_state),
+    ):
+        np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
 
 
 def test_pallas_generation_matches_scan(tiny_params):
