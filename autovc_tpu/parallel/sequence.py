@@ -25,7 +25,19 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
+
+
+def _pvary(x, axis):
+    """Mark a replicated value as device-varying over `axis` (shard_map's
+    typed-collective requirement for values entering ppermute). jax>=0.9
+    spells this lax.pcast(..., to='varying'); older releases only have
+    lax.pvary."""
+    import jax.lax as lax
+
+    if hasattr(lax, "pcast"):
+        return lax.pcast(x, axis, to="varying")
+    return lax.pvary(x, (axis,))
 
 
 def halo_conv1d(
@@ -124,9 +136,9 @@ def sp_lstm(
             else [(i, (i + 1) % n) for i in range(n)]
         )
 
-        h = jax.lax.pvary(jnp.zeros((bsz, hdim), x_chunk.dtype), (axis,))
-        c = jax.lax.pvary(jnp.zeros((bsz, hdim), x_chunk.dtype), (axis,))
-        out = jax.lax.pvary(jnp.zeros(x_chunk.shape[:2] + (hdim,), x_chunk.dtype), (axis,))
+        h = _pvary(jnp.zeros((bsz, hdim), x_chunk.dtype), axis)
+        c = _pvary(jnp.zeros((bsz, hdim), x_chunk.dtype), axis)
+        out = _pvary(jnp.zeros(x_chunk.shape[:2] + (hdim,), x_chunk.dtype), axis)
 
         def round_body(r, carry):
             h, c, out = carry

@@ -25,11 +25,17 @@ def log(*a):
 
 
 def main():
+    import os
+
     import jax
 
     from autovc_tpu.compile_cache import enable as _enable_cache
 
-    _enable_cache()
+    # Repo-local persistent cache (same one __graft_entry__ uses): warmed
+    # entries for the exact bench shapes are committed with the repo, so the
+    # driver sandbox — where ~/.cache does not persist — gets cache hits
+    # instead of the 925 s cold compile BENCH_r02 recorded.
+    _enable_cache(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_cache"))
     import jax.numpy as jnp
 
     from autovc_tpu.config import Config
@@ -67,15 +73,15 @@ def main():
     # --- models: trained artifacts when present (artifacts/ is the documented
     # path, produced by cli.export_ckpt + cli.train_vocoder), random init
     # fallback (identical compute cost — shapes and weights drive it)
-    import os
-
     art_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
     gen_art = os.path.join(art_dir, "generator_spmel.npz")
     if not os.path.exists(gen_art):  # the repo ships the f16 artifact
         gen_art = os.path.join(art_dir, "generator_spmel_f16.npz")
     voc_art = os.path.join(art_dir, "hifigan.npz")
 
-    model = build_generator(cfg.model)
+    from dataclasses import replace as _dc_replace
+
+    model = build_generator(cfg.model)  # f32 compute
     if os.path.exists(gen_art):
         from autovc_tpu.cli.export_ckpt import load_artifact
 
@@ -92,17 +98,78 @@ def main():
     )
     log(f"vocoder weights: {voc_art if os.path.exists(voc_art) else 'random init'}")
 
-    @jax.jit
-    def e2e(variables, voc_params, x, es, et):
-        _, mel_out, _ = model.apply(variables, x, es, et, train=False)
-        wav = voc.model.apply({"params": voc_params}, mel_out)
-        return wav
+    def make_e2e(gen_model, bf16: bool):
+        @jax.jit
+        def e2e(variables, voc_params, x, es, et):
+            _, mel_out, _ = gen_model.apply(variables, x, es, et, train=False)
+            mel32 = mel_out.astype(jnp.float32)
+            wav = voc.model.apply(
+                {"params": voc_params},
+                mel32.astype(jnp.bfloat16) if bf16 else mel32,
+            )
+            return mel32, wav.astype(jnp.float32)
+
+        return e2e
 
     xj, esj, etj = jnp.asarray(x), jnp.asarray(e_src), jnp.asarray(e_trg)
 
-    log("compiling end-to-end program...")
+    # --- precision selection. bf16 is the headline (MXU-native); its parity
+    # vs f32 (mel max-abs delta on [0,1]-normalized mels) is measured ONCE on
+    # hardware and committed to artifacts/bf16_parity.json, so the driver run
+    # compiles a single program. Set BENCH_DTYPE=f32 to force f32; delete the
+    # parity file to re-measure (compiles both programs).
+    parity_path = os.path.join(art_dir, "bf16_parity.json")
+    want_bf16 = os.environ.get("BENCH_DTYPE", "bf16") != "f32"
+    use_bf16 = False
+    if want_bf16:
+        if os.path.exists(parity_path):
+            with open(parity_path) as f:
+                parity = json.load(f)
+            use_bf16 = bool(parity.get("ok"))
+            log(f"bf16 parity (recorded): {parity}")
+        else:
+            log("measuring bf16-vs-f32 parity (two compiles)...")
+            e2e_f32 = make_e2e(model, bf16=False)
+            mel32, wav32 = e2e_f32(variables, voc.params, xj, esj, etj)
+            mel32, wav32 = np.asarray(mel32), np.asarray(wav32)
+            model_bf16 = build_generator(
+                _dc_replace(cfg.model, compute_dtype="bfloat16")
+            )
+            voc_params_bf16 = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, jnp.bfloat16), voc.params
+            )
+            e2e_bf16 = make_e2e(model_bf16, bf16=True)
+            melb, wavb = e2e_bf16(variables, voc_params_bf16, xj, esj, etj)
+            melb, wavb = np.asarray(melb), np.asarray(wavb)
+            mel_max = float(np.abs(melb - mel32).max())
+            mel_mean = float(np.abs(melb - mel32).mean())
+            wav_max = float(np.abs(wavb - wav32).max())
+            parity = {
+                "mel_maxabs_delta": mel_max,
+                "mel_meanabs_delta": mel_mean,
+                "wav_maxabs_delta": wav_max,
+                "ok": mel_max <= 0.06,
+            }
+            log(f"bf16 parity (measured): {parity}")
+            try:
+                with open(parity_path, "w") as f:
+                    json.dump(parity, f)
+            except OSError:
+                pass
+            use_bf16 = parity["ok"]
+
+    if use_bf16:
+        gen_model = build_generator(_dc_replace(cfg.model, compute_dtype="bfloat16"))
+        voc_params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.bfloat16), voc.params
+        )
+        dtype_name = "bf16"
+    else:
+        gen_model, voc_params, dtype_name = model, voc.params, "f32"
+    e2e = make_e2e(gen_model, bf16=use_bf16)
+    log(f"compiling end-to-end program ({dtype_name})...")
     t0 = time.time()
-    out = e2e(variables, voc.params, xj, esj, etj)
+    _, out = e2e(variables, voc_params, xj, esj, etj)
     _ = np.asarray(out[:, :16])  # real D2H sync (block_until_ready can lie
     # through the remote-device tunnel in this environment)
     log(f"compile+first run: {time.time() - t0:.1f}s, out {out.shape}")
@@ -111,22 +178,20 @@ def main():
     n_iters = 10
     t0 = time.time()
     for _ in range(n_iters):
-        out = e2e(variables, voc.params, xj, esj, etj)
+        _, out = e2e(variables, voc_params, xj, esj, etj)
         _ = np.asarray(out[:, :16])
     wall = (time.time() - t0) / n_iters
 
     audio_seconds = B * T_real * cfg.audio.hop_length / cfg.audio.sample_rate
     rt_factor = audio_seconds / wall
     log(
-        f"batch {B} x {T_real} frames ({audio_seconds:.1f}s audio) in "
-        f"{wall*1000:.1f}ms -> {rt_factor:.1f}x realtime"
+        f"batch {B} x {T_real} frames ({audio_seconds:.1f}s audio, {dtype_name}) "
+        f"in {wall*1000:.1f}ms -> {rt_factor:.1f}x realtime"
     )
 
     # --- secondary: WaveNet autoregressive samples/sec. Opt-in: the 24-layer
     # scan body is a long AOT compile on tunneled-TPU environments and must
     # not jeopardize the headline bench (run BENCH_WAVENET=1 python bench.py).
-    import os
-
     if os.environ.get("BENCH_WAVENET"):
         try:
             from autovc_tpu.vocoder.wavenet import WaveNetVocoder

@@ -44,28 +44,39 @@ def main():
         for dt in args.dtypes.split(","):
             dtype = jnp.bfloat16 if dt == "bfloat16" else jnp.float32
             for b in (int(x) for x in args.batches.split(",")):
-                mel = rng.rand(b, args.frames, 80).astype(np.float32)
-                key = jax.random.PRNGKey(0)
-                t0 = time.time()
-                y = voc.generate(mel, key=key, dtype=dtype, engine=engine)
-                _ = np.asarray(y[:, :8])  # forces full D2H sync
-                compile_s = time.time() - t0
-                times = []
-                for _ in range(args.reps):
+                # per-row failure tolerance: some configs are DESIGNED to
+                # fail (f32 pallas at B>=16 exceeds the 16MB VMEM budget);
+                # an uncaught OOM must not truncate the remaining rows
+                # (it cost the round-2 table a full re-run).
+                try:
+                    mel = rng.rand(b, args.frames, 80).astype(np.float32)
+                    key = jax.random.PRNGKey(0)
                     t0 = time.time()
                     y = voc.generate(mel, key=key, dtype=dtype, engine=engine)
-                    _ = np.asarray(y[:, :8])
-                    times.append(time.time() - t0)
-                best = min(times)
-                n_samples = b * args.frames * 256
-                print(json.dumps({
-                    "engine": engine, "dtype": dt, "batch": b,
-                    "frames": args.frames,
-                    "samples_per_s": round(n_samples / best),
-                    "rt_factor_per_stream": round(n_samples / best / sr / b, 2),
-                    "best_s": round(best, 3),
-                    "compile_s": round(compile_s, 1),
-                }), flush=True)
+                    _ = np.asarray(y[:, :8])  # forces full D2H sync
+                    compile_s = time.time() - t0
+                    times = []
+                    for _ in range(args.reps):
+                        t0 = time.time()
+                        y = voc.generate(mel, key=key, dtype=dtype, engine=engine)
+                        _ = np.asarray(y[:, :8])
+                        times.append(time.time() - t0)
+                    best = min(times)
+                    n_samples = b * args.frames * 256
+                    print(json.dumps({
+                        "engine": engine, "dtype": dt, "batch": b,
+                        "frames": args.frames,
+                        "samples_per_s": round(n_samples / best),
+                        "rt_factor_per_stream": round(n_samples / best / sr / b, 2),
+                        "best_s": round(best, 3),
+                        "compile_s": round(compile_s, 1),
+                    }), flush=True)
+                except Exception as exc:
+                    print(json.dumps({
+                        "engine": engine, "dtype": dt, "batch": b,
+                        "frames": args.frames,
+                        "error": f"{type(exc).__name__}: {str(exc)[:200]}",
+                    }), flush=True)
 
 
 if __name__ == "__main__":
