@@ -51,10 +51,14 @@ def main(argv=None):
     ap.add_argument("--spmel_dir", default=None, help="corpus feature dir")
     ap.add_argument(
         "--vocoder", default="griffinlim",
-        choices=["griffinlim", "wavenet", "hifigan"],
+        choices=["griffinlim", "wavenet", "hifigan", "hybrid"],
     )
     ap.add_argument("--vocoder_ckpt", default=None)
     ap.add_argument("--gl_iters", type=int, default=60)
+    ap.add_argument(
+        "--hybrid_iters", type=int, default=2,
+        help="GL refinement iterations for --vocoder hybrid",
+    )
     ap.add_argument("--max_utts", type=int, default=0, help="0 = all")
     ap.add_argument("--out", default=None, help="also append the JSON line here")
     args = ap.parse_args(argv)
@@ -62,6 +66,11 @@ def main(argv=None):
     assert (args.results is None) != (args.spmel_dir is None), (
         "exactly one of --results / --spmel_dir"
     )
+    if args.vocoder in ("hifigan", "wavenet", "hybrid") and not args.vocoder_ckpt:
+        ap.error(
+            f"--vocoder {args.vocoder} requires --vocoder_ckpt: without one "
+            "the model is random-init and its mel-L1 is meaningless"
+        )
 
     import jax.numpy as jnp
 
@@ -84,10 +93,14 @@ def main(argv=None):
                 for m in feats
             ]
 
-    elif args.vocoder == "hifigan":
+    elif args.vocoder in ("hifigan", "hybrid"):
         from autovc_tpu.vocoder.hifigan import HiFiGANVocoder
 
         voc = HiFiGANVocoder.from_checkpoint(cfg.hifigan, args.vocoder_ckpt)
+        if args.vocoder == "hybrid":
+            from autovc_tpu.vocoder.hybrid import HybridVocoder
+
+            voc = HybridVocoder(voc, cfg.audio, n_iter=args.hybrid_iters)
 
         def synth_all(feats):
             return [np.asarray(voc.generate(m)) for m in feats]
@@ -100,14 +113,16 @@ def main(argv=None):
         def synth_all(feats):
             return [np.asarray(voc.generate(m)) for m in feats]
 
-    l1s, mses = [], []
+    from autovc_tpu.eval.fidelity import mel_fidelity_report
+
+    l1s, mses, mcds = [], [], []
     for name, mel in mels:
         (wav,) = synth_all([mel])
         re_mel = np.asarray(frontend.mel_features(jnp.asarray(wav)))
-        n = min(re_mel.shape[0], mel.shape[0])
-        d = re_mel[:n] - mel[:n]
-        l1s.append(float(np.mean(np.abs(d))))
-        mses.append(float(np.mean(d * d)))
+        rep = mel_fidelity_report(mel, re_mel)
+        l1s.append(rep["mel_l1"])
+        mses.append(rep["mel_mse"])
+        mcds.append(rep["mcd_db"])
 
     rec = {
         "vocoder": args.vocoder,
@@ -116,6 +131,8 @@ def main(argv=None):
         "mel_l1_mean": float(np.mean(l1s)),
         "mel_l1_median": float(np.median(l1s)),
         "mel_mse_mean": float(np.mean(mses)),
+        "mcd_db_mean": float(np.mean(mcds)),
+        "mcd_db_median": float(np.median(mcds)),
     }
     line = json.dumps(rec)
     print(line)

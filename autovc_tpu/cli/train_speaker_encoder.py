@@ -32,6 +32,11 @@ def main(argv=None):
     ap.add_argument("--log_step", type=int, default=50)
     ap.add_argument("--out", default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--holdout", type=int, default=0,
+        help="exclude the LAST N utterances of every speaker from training "
+        "(held-out set for cli.evaluate_speaker_encoder's EER)",
+    )
     args = ap.parse_args(argv)
     apply_platform(args)
 
@@ -53,6 +58,11 @@ def main(argv=None):
             entries.append(SpeakerEntry(spk, np.zeros(1, np.float32), utts))
         ds = UtteranceDataset(mel_dir, manifest=entries)
 
+    features = ds.features
+    if args.holdout:
+        features = [u[: -args.holdout] if len(u) > args.holdout else u for u in features]
+        print(f"[train_speaker_encoder] holding out last {args.holdout} utts/speaker")
+
     n = min(args.n_speakers, ds.num_speakers)
     rng = np.random.default_rng(args.seed)
     trainer = GE2ETrainer(
@@ -61,7 +71,7 @@ def main(argv=None):
 
     def batches():
         while True:
-            yield sample_ge2e_batch(ds.features, n, args.m_utts, args.len_crop, rng)
+            yield sample_ge2e_batch(features, n, args.m_utts, args.len_crop, rng)
 
     trainer.train(batches(), args.num_iters, log_step=args.log_step)
     out = args.out or os.path.join(args.main_dir, "ge2e.npz")

@@ -135,6 +135,7 @@ def griffin_lim(
     momentum: float = 0.99,
     length: int | None = None,
     key: jax.Array | None = None,
+    init_phase: jax.Array | None = None,
 ) -> jax.Array:
     """Griffin-Lim phase reconstruction (librosa-style with momentum).
 
@@ -142,15 +143,24 @@ def griffin_lim(
     librosa.griffinlim in vocoder_stft.ipynb cell 0 as the cheap
     phase-reconstruction vocoder; here it is a fixed-trip-count fori_loop so
     the whole reconstruction compiles to one XLA program.
+
+    init_phase: optional (..., T, bins) complex unit phasors to start from
+    instead of random phase — e.g. the phase of a neural vocoder's output
+    (vocoder.hybrid), which converges in far fewer iterations.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
     t = mag.shape[-2]
     out_len = (t - 1) * hop if length is None else length
 
-    angles = jnp.exp(
-        2j * jnp.pi * jax.random.uniform(key, mag.shape).astype(jnp.float32)
-    ).astype(jnp.complex64)
+    if init_phase is not None:
+        angles = (
+            init_phase / jnp.maximum(jnp.abs(init_phase), 1e-16)
+        ).astype(jnp.complex64)
+    else:
+        angles = jnp.exp(
+            2j * jnp.pi * jax.random.uniform(key, mag.shape).astype(jnp.float32)
+        ).astype(jnp.complex64)
     mag_c = mag.astype(jnp.complex64)
 
     def body(_, carry):

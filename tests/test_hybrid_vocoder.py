@@ -1,0 +1,79 @@
+"""Hybrid neural+GL vocoder (vocoder/hybrid.py).
+
+The magnitude-projection step must move ANY waveform toward the mel's
+magnitude surface — that is the entire mechanism by which the hybrid closes
+the converted-mel fidelity gap (docs/VALIDATION_r2.md §2)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from autovc_tpu.config import AudioConfig
+from autovc_tpu.dsp.features import MelFrontend
+from autovc_tpu.vocoder.hybrid import HybridVocoder, refine_with_mel_magnitude
+
+AUDIO = AudioConfig()
+
+
+def _target_mel(t=24, seed=0):
+    """A mel that is actually ACHIEVABLE: extract it from a real waveform."""
+    rng = np.random.RandomState(seed)
+    n = (t - 1) * AUDIO.hop_length
+    ts = np.arange(n) / AUDIO.sample_rate
+    wav = (
+        0.4 * np.sin(2 * np.pi * 220 * ts)
+        + 0.2 * np.sin(2 * np.pi * 660 * ts)
+        + 0.01 * rng.standard_normal(n)
+    ).astype(np.float32)
+    frontend = MelFrontend(AUDIO)
+    mel = np.asarray(frontend.mel_features(jnp.asarray(wav)))[:t]
+    return mel, wav
+
+
+def _mel_l1(wav, mel):
+    frontend = MelFrontend(AUDIO)
+    re = np.asarray(frontend.mel_features(jnp.asarray(wav)))
+    n = min(re.shape[0], mel.shape[0])
+    return float(np.abs(re[:n] - mel[:n]).mean())
+
+
+def test_refinement_improves_mel_fidelity_of_a_degraded_waveform():
+    mel, wav = _target_mel()
+    # degrade: heavy noise on the true waveform
+    bad = wav + 0.2 * np.random.RandomState(1).standard_normal(len(wav)).astype(np.float32)
+    before = _mel_l1(bad, mel)
+    out = np.asarray(refine_with_mel_magnitude(jnp.asarray(bad), mel, AUDIO, n_iter=4))
+    after = _mel_l1(out, mel)
+    assert np.isfinite(out).all()
+    assert after < before * 0.8, (before, after)
+
+
+def test_iteration_count_tradeoff_stays_bounded():
+    """n_iter=0 (pure magnitude swap) is the mel-L1-optimal point by
+    construction; GL iterations trade a LITTLE of it for spectrogram
+    consistency (phase realism). Pin that the trade stays small."""
+    mel, wav = _target_mel(seed=2)
+    bad = 0.5 * wav
+    l1_0 = _mel_l1(np.asarray(refine_with_mel_magnitude(jnp.asarray(bad), mel, AUDIO, n_iter=0)), mel)
+    l1_8 = _mel_l1(np.asarray(refine_with_mel_magnitude(jnp.asarray(bad), mel, AUDIO, n_iter=8)), mel)
+    assert l1_8 <= l1_0 * 1.3, (l1_0, l1_8)
+
+
+def test_hybrid_vocoder_wraps_neural_and_pads_short_output():
+    mel, wav = _target_mel()
+    noisy = wav + 0.15 * np.random.RandomState(3).standard_normal(len(wav)).astype(np.float32)
+
+    class StubNeural:
+        """Imperfect neural vocoder (noisy) that also comes up 3 frames short."""
+
+        def generate(self, m):
+            return jnp.asarray(noisy[: len(wav) - 3 * AUDIO.hop_length])
+
+    hv = HybridVocoder(StubNeural(), AUDIO, n_iter=2)
+    out = np.asarray(hv.generate(mel))
+    assert out.shape == ((mel.shape[0] - 1) * AUDIO.hop_length,)
+    assert np.isfinite(out).all()
+    # the projection must improve on the degraded neural output
+    assert _mel_l1(out, mel) < _mel_l1(np.asarray(StubNeural().generate(mel)), mel)
