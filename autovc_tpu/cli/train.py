@@ -82,6 +82,11 @@ def main(argv=None):
     )
     ap.add_argument("--wandb", action="store_true")
     ap.add_argument(
+        "--watch_step", type=int, default=0,
+        help="log param/grad histograms every N steps (wandb.watch "
+        "equivalent, reference solver_encoder.py:203); 0 = off",
+    )
+    ap.add_argument(
         "--export",
         default=None,
         help="after training, write final params to this .npz (process 0 "
@@ -153,6 +158,7 @@ def main(argv=None):
             ema_decay=args.ema,
             log_step=args.log_step,
             checkpoint_step=args.checkpoint_step,
+            watch_step=args.watch_step,
             seed=args.seed,
             data_parallel=args.data_parallel,
             model_parallel=args.model_parallel,

@@ -121,6 +121,9 @@ class TrainConfig:
     log_step: int = 100
     checkpoint_step: int = 100
     log_spectrograms: bool = False  # dump original/reconstructed figures
+    # param/grad histogram interval (reference wandb.watch log_freq=1000,
+    # solver_encoder.py:203); 0 disables. See train/watch.py.
+    watch_step: int = 0
     seed: int = 0
     # parallelism: number of data-parallel shards (mesh axis 'data') and
     # tensor-parallel shards (mesh axis 'model'); 1 disables the axis

@@ -72,6 +72,30 @@ class MetricsLogger:
             line += f", {k}: {float(metrics[k]):.4f}"
         print(line, flush=True)
 
+    def log_histograms(self, step: int, hists: Mapping[str, Mapping[str, Any]]):
+        """Param/grad histogram sink (the wandb.watch equivalent; see
+        train/watch.py). hists: {'param/encoder': {counts, lo, hi, rms}, ...}.
+        JSONL gets compact summaries + counts; wandb gets real Histograms."""
+        import numpy as np
+
+        rec: dict[str, Any] = {"step": step, "histograms": {}}
+        wb = {}
+        for name, h in hists.items():
+            counts = np.asarray(h["counts"])
+            lo, hi = float(h["lo"]), float(h["hi"])
+            rec["histograms"][name] = {
+                "lo": lo,
+                "hi": hi,
+                "rms": float(h["rms"]),
+                "counts": counts.tolist(),
+            }
+            if self._wandb is not None:
+                edges = np.linspace(lo, max(hi, lo + 1e-12), len(counts) + 1)
+                wb[name] = self._wandb.Histogram(np_histogram=(counts, edges))
+        self._f.write(json.dumps(rec) + "\n")
+        if self._wandb is not None:
+            self._wandb.log(wb, step=step)
+
     def log_spectrogram_pair(self, step: int, original, reconstructed, tag="train"):
         """Original-vs-reconstructed spectrogram figures every log_step
         (reference solver_encoder.py:348-412; PNGs under <run>/figures plus

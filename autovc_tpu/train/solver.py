@@ -98,6 +98,7 @@ class Solver:
         self._snap_fn = None  # jitted on-device state copy (built lazily)
         self._save_thread = None  # at most one orbax save in flight
         self._save_error: Exception | None = None
+        self._watch_fn = None  # param/grad histogram observer (train/watch.py)
 
         self.state = self._init_state()
         self._step_fn = self._compile_step()
@@ -259,6 +260,14 @@ class Solver:
                 if cfg.train.log_spectrograms and cfg.model.model_type != "wav":
                     recon = self._recon(x, emb)
                     self.metrics.log_spectrogram_pair(i, x[0], recon[0])
+            if cfg.train.watch_step and i % cfg.train.watch_step == 0:
+                # wandb.watch equivalent (solver_encoder.py:203): param/grad
+                # histograms, built on device (train/watch.py)
+                if self._watch_fn is None:
+                    from autovc_tpu.train.watch import make_watch_fn
+
+                    self._watch_fn = make_watch_fn(self.model, cfg)
+                self.metrics.log_histograms(i, self._watch_fn(self.state, x, emb))
             if i % cfg.train.checkpoint_step == 0:
                 # never persist a non-finite state (would poison auto-resume)
                 if np.isfinite(float(m["g_loss"])):
@@ -315,6 +324,17 @@ class Solver:
         snap = self._snap_fn(self.state)
         if self._save_thread is not None:
             self._save_thread.join()
+            self._save_thread = None
+        if self._save_error is not None:
+            # A failed background save (disk full, bad perms, ...) must stop
+            # training NOW: checkpoints are the recovery path, and deferring
+            # the error to finish_saves() would let a multi-hour run continue
+            # with zero persisted state.
+            exc, self._save_error = self._save_error, None
+            self.metrics.alert(
+                "checkpoint save failed", f"background orbax save raised: {exc!r}"
+            )
+            raise exc
 
         def _bg():
             try:

@@ -122,7 +122,9 @@ def make_train_step(model, cfg: Config, optimizer: optax.GradientTransformation)
         updates, opt_state = optimizer.update(grads, opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         ema = ema_update(state.ema_params, params, cfg.train.ema_decay)
-        metrics = dict(metrics, lr=cfg.train.lr * scale)
+        metrics = dict(
+            metrics, lr=cfg.train.lr * scale, grad_norm=optax.global_norm(grads)
+        )
         return (
             TrainState(
                 step=state.step + 1,
