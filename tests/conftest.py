@@ -35,6 +35,32 @@ import pytest  # noqa: E402
 REFERENCE_DIR = "/root/reference"
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="also run tests marked slow (multi-minute compiles on a 1-core host)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute (compile-heavy) test — deselected by default; "
+        "run the full suite with --runslow",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow test (pass --runslow to include)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def reference_dir():
     if not os.path.isdir(REFERENCE_DIR):

@@ -74,6 +74,7 @@ def test_dvector_matches_torch():
 
 
 @pytest.mark.parametrize("n_bins", [80, 513])
+@pytest.mark.slow
 def test_generator_matches_torch(n_bins):
     """Full Generator forward parity (training mode, batch-stats path),
     for both the spmel (80) and stft (513) variants."""
@@ -117,6 +118,7 @@ def test_generator_matches_torch(n_bins):
     np.testing.assert_allclose(np.asarray(out_psnt), ref_psnt, atol=ATOL)
 
 
+@pytest.mark.slow
 def test_generator_encode_matches_torch_codes_branch():
     """encode() == the reference's c_trg=None forward branch."""
     from model_vc_mel import Generator as RefGenerator
@@ -143,6 +145,7 @@ def test_generator_encode_matches_torch_codes_branch():
 
 
 @pytest.mark.parametrize("depth", [1, 3])
+@pytest.mark.slow
 def test_generator_wav_matches_torch(depth):
     from model_vc_wav import GeneratorWav as RefGeneratorWav
 
@@ -196,6 +199,7 @@ def test_losses_match_torch_reference():
         assert abs(ours - ref_loss) < 1e-3, (kind, ours, ref_loss)
 
 
+@pytest.mark.slow
 def test_generator_wav_on_reference_debug_fixtures():
     """Shape-walk GeneratorWav with the reference's captured real batch
     (x_real_wav.npy / emb_org_wav.npy — the visualize_melspect.ipynb
@@ -224,6 +228,7 @@ def test_generator_wav_on_reference_debug_fixtures():
     assert codes.shape == (2, 128 // 32 * 64)
 
 
+@pytest.mark.slow
 def test_hifigan_import_from_public_torch_layout():
     """Import a weight-normalized torch state dict in the public HiFi-GAN
     generator layout and verify our generator's forward equals a torch
@@ -296,6 +301,7 @@ def test_hifigan_import_from_public_torch_layout():
     np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_wavenet_import_from_r9y9_torch_layout():
     """Import a weight-normalized torch state dict in the r9y9
     wavenet_vocoder layout; verify weight-norm folding and that the imported

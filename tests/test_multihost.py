@@ -22,6 +22,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # two OS processes each compiling a train step
+
 
 def _free_port() -> int:
     with socket.socket() as s:

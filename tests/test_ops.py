@@ -71,6 +71,7 @@ def test_layers_lstm_pallas_path_matches_scan_path():
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_generator_pallas_path_matches_default():
     """build_generator(use_pallas_lstm=True) forward == default path."""
     from autovc_tpu.config import ModelConfig
@@ -123,6 +124,7 @@ def test_pallas_lstm_chunked_matches_unchunked():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pallas_lstm_gradients_match_scan():
     """Custom-VJP backward == jax.grad through the scan reference, for
     grads w.r.t. x-projections AND the recurrent weights, across chunk
@@ -150,6 +152,7 @@ def test_pallas_lstm_gradients_match_scan():
     np.testing.assert_allclose(np.asarray(out_dw), np.asarray(ref_dw), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_pallas_lstm_reverse_gradients():
     from autovc_tpu.models.layers import _lstm_scan
     from autovc_tpu.ops.pallas_lstm import _lstm_sequence
@@ -174,6 +177,7 @@ def test_pallas_lstm_reverse_gradients():
     )
 
 
+@pytest.mark.slow
 def test_layers_lstm_pallas_trainable():
     """The flax LSTM with use_pallas=True produces the same parameter
     gradients as the scan path (the custom VJP makes pallas trainable)."""
@@ -220,6 +224,7 @@ def test_pallas_lstm_bf16_forward_and_grad():
     assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
 
 
+@pytest.mark.slow
 def test_pallas_split_gradients_match_scan():
     """Gate-split custom VJP == jax.grad through the scan reference (dx AND
     dW), across chunk boundaries. This is the decoder-H=1024 training path;
@@ -251,6 +256,7 @@ def test_pallas_split_gradients_match_scan():
     np.testing.assert_allclose(np.asarray(out_dw), np.asarray(ref_dw), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_pallas_split_gradients_h1024():
     """The real decoder size: H=1024 (w_hh 16MB > the 8MB VMEM gate, so
     lstm_sequence auto-routes to the gate-split kernel) trains and matches

@@ -40,6 +40,7 @@ def spmel_iter(reference_dir):
     return lambda seed=0: BatchIterator(ds, batch_size=2, len_crop=LEN_CROP, seed=seed)
 
 
+@pytest.mark.slow
 def test_smoke_train_loss_decreases(tmp_path, spmel_iter):
     cfg = tiny_cfg(tmp_path)
     solver = Solver(cfg, spmel_iter(), run_dir=str(tmp_path / "run"))
@@ -51,6 +52,7 @@ def test_smoke_train_loss_decreases(tmp_path, spmel_iter):
     assert np.isfinite(solver.eval_loss(x, emb)["g_loss"])
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_restores_step_and_params(tmp_path, spmel_iter):
     cfg = tiny_cfg(tmp_path, checkpoint_step=5)
     run_dir = str(tmp_path / "run")
@@ -88,6 +90,7 @@ def test_plateau_reduces_after_patience():
     assert scale == pytest.approx(0.5)
 
 
+@pytest.mark.slow
 def test_wav_variant_trains(tmp_path, reference_dir):
     """End-to-end wav-variant step: synthetic waveform features at the real
     crop length contract (33536 -> latent 128)."""
@@ -160,6 +163,7 @@ class _SyntheticIter:
         return x, emb
 
 
+@pytest.mark.slow
 def test_data_parallel_8wide_matches_single_device(tmp_path):
     """DP over the full 8-device CPU mesh computes the same params as 1
     device (identical global batch stream; XLA's psum gradient all-reduce
@@ -169,6 +173,7 @@ def test_data_parallel_8wide_matches_single_device(tmp_path):
     assert _max_param_diff(p1, p8) < 1e-3
 
 
+@pytest.mark.slow
 def test_tensor_parallel_matches_single_device(tmp_path, spmel_iter):
     """TP=2 (params sharded over 'model' by _TP_RULES) must produce the same
     trained params as the dense single-device run — proves the sharding
@@ -178,6 +183,7 @@ def test_tensor_parallel_matches_single_device(tmp_path, spmel_iter):
     assert _max_param_diff(p1, p2) < 1e-3
 
 
+@pytest.mark.slow
 def test_dp_tp_combined_matches_single_device(tmp_path, spmel_iter):
     """The 2x2 (data x model) mesh — DP batch sharding + TP param sharding
     together — matches the dense run."""
@@ -203,6 +209,7 @@ def test_loss_formula_matches_reference_composition(spmel_iter):
     assert float(total) == pytest.approx(float(expect), rel=1e-6)
 
 
+@pytest.mark.slow
 def test_spectrogram_figure_logging(tmp_path, spmel_iter):
     """Reference-style original/reconstructed figure dumps
     (solver_encoder.py:348-412)."""
@@ -228,6 +235,7 @@ def test_step_timer_summary():
     assert s["step_ms_p50"] >= 5
 
 
+@pytest.mark.slow
 def test_bf16_compute_path_trains(tmp_path, spmel_iter):
     """bfloat16 compute (params f32) runs and produces finite f32 losses."""
     cfg = Config(
@@ -259,6 +267,7 @@ def test_prefetcher_preserves_stream(tmp_path, spmel_iter):
     pf.close()
 
 
+@pytest.mark.slow
 def test_transient_data_errors_are_retried(tmp_path, spmel_iter):
     good = spmel_iter()
 
@@ -340,6 +349,7 @@ def test_prefetcher_signals_end_of_stream(spmel_iter):
     pf.close()
 
 
+@pytest.mark.slow
 def test_nonfinite_loss_does_not_checkpoint_poisoned_state(tmp_path, spmel_iter):
     """NaN loss aborts WITHOUT writing a checkpoint (the params already
     absorbed the bad update; resume must come from the last good save)."""
@@ -382,3 +392,22 @@ def test_filtfilt_rejects_short_input():
         filtfilt(b, a, jnp.zeros(10))
     with pytest.raises(ValueError):
         sos_filtfilt(butter_highpass_sos(), jnp.zeros(10))
+
+
+@pytest.mark.slow
+def test_watch_histograms_logged(tmp_path, spmel_iter):
+    """cfg.train.watch_step drives the wandb.watch-equivalent observer:
+    param AND grad histograms land in the JSONL stream (train/watch.py)."""
+    import json
+
+    cfg = tiny_cfg(tmp_path, watch_step=2)
+    solver = Solver(cfg, spmel_iter(), run_dir=str(tmp_path / "watch"))
+    solver.train(num_iters=2)
+    recs = [json.loads(l) for l in open(solver.metrics.path)]
+    hists = [r for r in recs if "histograms" in r]
+    assert hists, "no histogram records written"
+    names = set(hists[-1]["histograms"])
+    assert any(n.startswith("param/") for n in names)
+    assert any(n.startswith("grad/") for n in names)
+    one = next(iter(hists[-1]["histograms"].values()))
+    assert sum(one["counts"]) > 0 and np.isfinite(one["rms"])
