@@ -52,6 +52,7 @@ def test_make_metadata_cli_one_hot(tiny_corpus):
     assert os.path.exists(os.path.join(tiny_corpus, "spmel", "metadata.log"))
 
 
+@pytest.mark.slow
 def test_train_convert_synthesize_evaluate_cli(tiny_corpus, capsys):
     from autovc_tpu.cli.convert import main as convert_main
     from autovc_tpu.cli.evaluate import main as evaluate_main

@@ -250,6 +250,7 @@ def test_hifigan_gan_training_step(reference_dir):
     assert hist[-1]["d_loss"] < hist[0]["d_loss"]  # D learns real-vs-fake
 
 
+@pytest.mark.slow
 def test_hifigan_gan_train_state_roundtrip(tmp_path):
     """save_train_state/restore_train_state preserve discriminators and both
     optimizer states exactly, so an interrupted GAN fine-tune resumes with
