@@ -23,7 +23,13 @@ def main(argv=None):
     add_platform_arg(ap)
     ap.add_argument("--main_dir", required=True)
     ap.add_argument("--num_iters", type=int, default=50_000)
-    ap.add_argument("--n_speakers", type=int, default=4, help="speakers per batch")
+    ap.add_argument(
+        "--n_speakers", type=int, default=0,
+        help="speakers per batch; 0 = ALL corpus speakers. On small corpora "
+        "subsampled batches (e.g. 4 of 7) drive embedding collapse to the "
+        "uniform-softmax point loss=ln(N); all-speaker batches train "
+        "cleanly (measured round 3)",
+    )
     ap.add_argument("--m_utts", type=int, default=5, help="utterances per speaker")
     ap.add_argument("--len_crop", type=int, default=128)
     ap.add_argument("--dim_cell", type=int, default=768)
@@ -36,6 +42,12 @@ def main(argv=None):
         "--holdout", type=int, default=0,
         help="exclude the LAST N utterances of every speaker from training "
         "(held-out set for cli.evaluate_speaker_encoder's EER)",
+    )
+    ap.add_argument(
+        "--ce_weight", type=float, default=0.0,
+        help="weight of a speaker-ID cross-entropy auxiliary on the "
+        "embedding (breaks the GE2E collapse attractor on tiny corpora; "
+        "the head is not saved). 0 = pure GE2E",
     )
     args = ap.parse_args(argv)
     apply_platform(args)
@@ -63,15 +75,19 @@ def main(argv=None):
         features = [u[: -args.holdout] if len(u) > args.holdout else u for u in features]
         print(f"[train_speaker_encoder] holding out last {args.holdout} utts/speaker")
 
-    n = min(args.n_speakers, ds.num_speakers)
+    n = min(args.n_speakers or ds.num_speakers, ds.num_speakers)
     rng = np.random.default_rng(args.seed)
+    use_ce = args.ce_weight > 0
     trainer = GE2ETrainer(
-        dim_cell=args.dim_cell, dim_emb=args.dim_emb, lr=args.lr, seed=args.seed
+        dim_cell=args.dim_cell, dim_emb=args.dim_emb, lr=args.lr, seed=args.seed,
+        n_classes=len(features) if use_ce else 0, ce_weight=args.ce_weight,
     )
 
     def batches():
         while True:
-            yield sample_ge2e_batch(features, n, args.m_utts, args.len_crop, rng)
+            yield sample_ge2e_batch(
+                features, n, args.m_utts, args.len_crop, rng, return_labels=use_ce
+            )
 
     trainer.train(batches(), args.num_iters, log_step=args.log_step)
     out = args.out or os.path.join(args.main_dir, "ge2e.npz")

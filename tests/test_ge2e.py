@@ -79,3 +79,35 @@ def test_ge2e_training_separates_speakers(reference_dir, tmp_path):
     trainer.save(str(tmp_path / "ge2e.npz"))
     loaded = GE2ETrainer.load_params(str(tmp_path / "ge2e.npz"))
     assert "dvector" in loaded and "w" in loaded
+
+
+def test_ce_auxiliary_breaks_symmetry_and_is_not_saved(tmp_path):
+    """The speaker-ID cross-entropy head trains alongside GE2E (labels fed
+    through sample_ge2e_batch return_labels) and is excluded from the saved
+    checkpoint (consumers always load pure DVector params)."""
+    rng = np.random.RandomState(3)
+    nprng = np.random.default_rng(3)
+    # synthetic 6-speaker corpus: per-speaker spectral template + noise
+    feats = []
+    for s in range(6):
+        tpl = rng.rand(1, 80).astype(np.float32)
+        feats.append([
+            np.clip(tpl + 0.1 * rng.randn(96, 80), 0, 1).astype(np.float32)
+            for _ in range(4)
+        ])
+
+    trainer = GE2ETrainer(
+        dim_cell=32, dim_emb=8, lr=1e-3, seed=0, n_classes=6, ce_weight=1.0
+    )
+    assert "cls" in trainer.params
+
+    def batches():
+        while True:
+            yield sample_ge2e_batch(feats, 4, 3, 32, nprng, return_labels=True)
+
+    last = trainer.train(batches(), num_iters=40, log_step=20)
+    assert np.isfinite(last)
+
+    trainer.save(str(tmp_path / "ge2e_ce.npz"))
+    loaded = GE2ETrainer.load_params(str(tmp_path / "ge2e_ce.npz"))
+    assert "cls" not in loaded and "dvector" in loaded and "w" in loaded
