@@ -48,9 +48,15 @@ def crop_batch(
     hop: int,
     rng: np.random.Generator,
 ):
-    """Random hop-aligned (waveform, mel) crops (hparams.py:150 semantics)."""
+    """Random hop-aligned (waveform, mel) crops (hparams.py:150 semantics).
+
+    max_time is rounded DOWN to a whole number of hops (8000 -> 7936 at
+    hop 256) so the waveform length equals frames*hop — the teacher-forced
+    forward adds the upsampled conditioning to the sample stream and r9y9's
+    ensure_divisible does the same rounding."""
     xs, cs = [], []
     frames = max_time // hop
+    max_time = frames * hop
     for _ in range(batch_size):
         i = int(rng.integers(0, len(wavs)))
         w, m = wavs[i], mels[i]

@@ -324,6 +324,11 @@ class WaveNetVocoder:
     def __init__(self, cfg: WaveNetConfig, params: dict | None = None, seed: int = 0):
         self.cfg = cfg
         self.params = params if params is not None else init_params(cfg, jax.random.PRNGKey(seed))
+        # engine='pallas' weight layout, cached per dtype: pack_weights
+        # re-stacks ~50 MB of layer weights through dozens of eager
+        # dispatches — repeating that per generate() call dominates the
+        # latency engine's per-call overhead on tunneled devices.
+        self._packed: dict = {}
 
     @classmethod
     def from_checkpoint(cls, cfg: WaveNetConfig, path: str | None):
@@ -375,7 +380,12 @@ class WaveNetVocoder:
                 key, (length, cond.shape[0], k_mol + 1),
                 minval=1e-5, maxval=1.0 - 1e-5,
             )
-            packed = pack_weights(self.params, self.cfg.layers, dtype=dtype)
+            dkey = jnp.dtype(dtype).name
+            if dkey not in self._packed:
+                self._packed[dkey] = jax.block_until_ready(
+                    pack_weights(self.params, self.cfg.layers, dtype=dtype)
+                )
+            packed = self._packed[dkey]
             wav = generate_pallas(
                 packed, tuple(self.cfg.dilations()),
                 cond, jnp.swapaxes(uniforms, 0, 1),
