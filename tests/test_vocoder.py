@@ -175,6 +175,24 @@ def test_hifigan_batched():
     assert wav.shape == (2, 4 * 256)
 
 
+def test_crop_batch_hop_alignment():
+    """max_time not a multiple of hop (the reference's 8000 @ hop 256) must
+    round DOWN so waveform length == frames*hop — the teacher-forced forward
+    adds upsampled conditioning to the sample stream (regression: the 8000
+    default crashed cli.train_vocoder with 8000-vs-7936 shapes)."""
+    from autovc_tpu.vocoder.train_wavenet import crop_batch
+
+    rng = np.random.default_rng(0)
+    wavs = [rng.standard_normal(20000).astype(np.float32),
+            rng.standard_normal(3000).astype(np.float32)]  # shorter than crop
+    mels = [rng.standard_normal((78, 80)).astype(np.float32),
+            rng.standard_normal((11, 80)).astype(np.float32)]
+    x, c = crop_batch(wavs, mels, batch_size=4, max_time=8000, hop=256, rng=rng)
+    assert x.shape == (4, 7936, 1)
+    assert c.shape == (4, 31, 80)
+    assert c.shape[1] * 256 == x.shape[1]
+
+
 @pytest.mark.slow
 def test_wavenet_trainer_loss_decreases(tmp_path, reference_dir):
     """Tiny WaveNet learns on a real utterance: NLL decreases and the EMA
