@@ -28,6 +28,16 @@ def main(argv=None):
     # model configuration (main.py:47-53,65)
     ap.add_argument("--lambda_cd", type=float, default=1.0)
     ap.add_argument("--lambda_SISNR", type=float, default=1.0)
+    ap.add_argument(
+        "--lambda_spk", type=float, default=0.0,
+        help="speaker-consistency auxiliary weight: within-batch cross-"
+        "conversions re-embedded by a FROZEN GE2E encoder and pulled toward "
+        "the target embedding (spmel only; 0 = reference objective)",
+    )
+    ap.add_argument(
+        "--spk_ckpt", default=None,
+        help="GE2E .npz for --lambda_spk (cli.train_speaker_encoder output)",
+    )
     ap.add_argument("--dim_neck", type=int, default=32)
     ap.add_argument("--dim_emb", type=int, default=256)
     ap.add_argument("--dim_pre", type=int, default=512)
@@ -150,6 +160,8 @@ def main(argv=None):
         train=TrainConfig(
             lambda_cd=args.lambda_cd,
             lambda_sisnr=args.lambda_SISNR,
+            lambda_spk=args.lambda_spk,
+            spk_ckpt=args.spk_ckpt,
             batch_size=args.batch_size,
             num_iters=args.num_iters,
             len_crop=args.len_crop,

@@ -117,6 +117,12 @@ class TrainConfig:
     cosine_eta_min_ratio: float = 0.01
     plateau_factor: float = 0.1
     plateau_patience: int = 10
+    # speaker-consistency auxiliary (TPU-first addition, not in the
+    # reference): within-batch cross-conversions are re-embedded by a FROZEN
+    # GE2E encoder (spk_ckpt) and pulled toward the target embedding by a
+    # cosine loss. 0.0 = exactly the reference objective. spmel/stft only.
+    lambda_spk: float = 0.0
+    spk_ckpt: str | None = None
     ema_decay: float = 0.9999  # applied as a REAL per-step EMA (ref bug fixed)
     log_step: int = 100
     checkpoint_step: int = 100

@@ -163,7 +163,21 @@ class Solver:
         return np.asarray(self._recon_fn(variables, x, emb))
 
     def _compile_step(self):
-        raw = make_train_step(self.model, self.cfg, self.optimizer)
+        spk = None
+        if self.cfg.train.lambda_spk > 0:
+            assert self.cfg.train.spk_ckpt, "lambda_spk > 0 requires spk_ckpt"
+            from autovc_tpu.models.dvector import DVector
+            from autovc_tpu.train.ge2e import GE2ETrainer
+
+            dvec_params = GE2ETrainer.load_params(self.cfg.train.spk_ckpt)
+            dvec_params = dvec_params.get("dvector", dvec_params)
+            spk = (DVector(), dvec_params)
+            print(
+                f"[solver] speaker-consistency aux on "
+                f"(lambda_spk={self.cfg.train.lambda_spk}, "
+                f"frozen encoder: {self.cfg.train.spk_ckpt})"
+            )
+        raw = make_train_step(self.model, self.cfg, self.optimizer, spk=spk)
         bsh = batch_sharding(self.mesh)
         rep = replicated(self.mesh)
         return jax.jit(
@@ -190,6 +204,8 @@ class Solver:
         log_keys = ["g_loss_id", "g_loss_id_psnt", "g_loss_cd"] if cfg.model.model_type != "wav" else [
             "g_loss_id", "g_loss_gen", "g_loss_cd", "g_loss_sisnr"
         ]
+        if cfg.train.lambda_spk > 0 and cfg.model.model_type != "wav":
+            log_keys.append("g_loss_spk")
 
         # failure handling (SURVEY §5.3): save a checkpoint on SIGTERM/SIGINT
         # (preemption-safe), retry transient data errors, halt on non-finite

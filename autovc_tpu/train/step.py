@@ -35,8 +35,17 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     return optax.inject_hyperparams(optax.adam)(learning_rate=cfg.train.lr)
 
 
-def loss_fn(model, cfg: Config, params, batch_stats, x, emb, train: bool = True):
-    """Returns (total_loss, (metrics, new_batch_stats))."""
+def loss_fn(model, cfg: Config, params, batch_stats, x, emb, train: bool = True,
+            spk=None):
+    """Returns (total_loss, (metrics, new_batch_stats)).
+
+    spk: optional (dvector_model, dvector_params) pair enabling the
+    speaker-consistency auxiliary (cfg.train.lambda_spk): the batch is
+    cross-converted within itself (embeddings rolled by one), the postnet
+    output re-embedded by the FROZEN d-vector encoder, and a cosine loss
+    pulls the conversion toward its target embedding. The encoder's params
+    are captured constants — no gradient flows into it.
+    """
     variables = {"params": params, "batch_stats": batch_stats}
     mt = cfg.model.model_type
 
@@ -61,6 +70,20 @@ def loss_fn(model, cfg: Config, params, batch_stats, x, emb, train: bool = True)
             "g_loss_id_psnt": g_loss_id_psnt,
             "g_loss_cd": g_loss_cd,
         }
+        if spk is not None and cfg.train.lambda_spk > 0:
+            assert mt == "spmel", "lambda_spk requires mel-domain outputs"
+            dvec_model, dvec_params = spk
+            emb_trg = jnp.roll(emb, 1, axis=0)  # within-batch cross-pairs
+            x_conv = model.apply(
+                variables, x, emb, emb_trg, train=False
+            )[1]  # postnet output, eval-mode BN (running stats, no mutation)
+            e_conv = dvec_model.apply({"params": dvec_params}, x_conv)
+            e_trg = emb_trg / (
+                jnp.linalg.norm(emb_trg, axis=-1, keepdims=True) + 1e-8
+            )
+            g_loss_spk = jnp.mean(1.0 - jnp.sum(e_conv * e_trg, axis=-1))
+            total = total + cfg.train.lambda_spk * g_loss_spk
+            metrics = dict(metrics, g_loss=total, g_loss_spk=g_loss_spk)
         new_stats = upd2["batch_stats"] if train else batch_stats
         return total, (metrics, new_stats)
 
@@ -97,15 +120,23 @@ def loss_fn(model, cfg: Config, params, batch_stats, x, emb, train: bool = True)
     raise ValueError(f"unknown model_type {mt!r}")
 
 
-def make_train_step(model, cfg: Config, optimizer: optax.GradientTransformation) -> Callable:
-    """Build the jitted step: (state, x, emb, lr_scale) -> (state, metrics)."""
+def make_train_step(
+    model, cfg: Config, optimizer: optax.GradientTransformation, spk=None
+) -> Callable:
+    """Build the jitted step: (state, x, emb, lr_scale) -> (state, metrics).
+
+    spk: optional (dvector_model, dvector_params) for the lambda_spk
+    speaker-consistency auxiliary (see loss_fn)."""
 
     use_cosine = cfg.train.lr_scheduler == "Cosine"
     use_cosine_decay = cfg.train.lr_scheduler == "CosineDecay"
 
     def step_fn(state: TrainState, x, emb, lr_scale):
         (_, (metrics, new_stats)), grads = jax.value_and_grad(
-            lambda p: loss_fn(model, cfg, p, state.batch_stats, x, emb), has_aux=True
+            lambda p: loss_fn(
+                model, cfg, p, state.batch_stats, x, emb, spk=spk
+            ),
+            has_aux=True,
         )(state.params)
 
         # learning rate: base * (cosine(step) if enabled) * host scale (plateau)

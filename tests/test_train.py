@@ -209,6 +209,53 @@ def test_loss_formula_matches_reference_composition(spmel_iter):
     assert float(total) == pytest.approx(float(expect), rel=1e-6)
 
 
+def test_speaker_consistency_auxiliary(spmel_iter):
+    """lambda_spk adds a frozen-d-vector cosine term on within-batch
+    cross-conversions: metric present and finite, total composes, gradients
+    flow into the generator, and lambda_spk=0 reproduces the reference
+    objective exactly."""
+    from autovc_tpu.models import build_generator
+    from autovc_tpu.models.dvector import DVector
+    from autovc_tpu.train.step import loss_fn
+
+    cfg0 = Config(model=ModelConfig(model_type="spmel"), train=TrainConfig())
+    cfg1 = Config(
+        model=ModelConfig(model_type="spmel"),
+        train=TrainConfig(lambda_spk=0.5, spk_ckpt="unused-here"),
+    )
+    model = build_generator(cfg0.model)
+    x, emb = next(spmel_iter())
+    x, emb = jnp.asarray(x), jnp.asarray(emb)
+    variables = model.init(jax.random.PRNGKey(0), x, emb, emb)
+    dvec = DVector()
+    dvec_params = dvec.init(jax.random.PRNGKey(1), x)["params"]
+    params, stats = variables["params"], variables.get("batch_stats", {})
+
+    total0, (m0, _) = loss_fn(model, cfg0, params, stats, x, emb)
+    total1, (m1, _) = loss_fn(
+        model, cfg1, params, stats, x, emb, spk=(dvec, dvec_params)
+    )
+    assert "g_loss_spk" not in m0
+    assert np.isfinite(float(m1["g_loss_spk"]))
+    assert 0.0 <= float(m1["g_loss_spk"]) <= 2.0  # 1 - cos in [0, 2]
+    assert float(total1) == pytest.approx(
+        float(total0) + 0.5 * float(m1["g_loss_spk"]), rel=1e-5
+    )
+    # gradient flows through the conversion into the generator
+    g = jax.grad(
+        lambda p: cfg1.train.lambda_spk
+        * loss_fn(model, cfg1, p, stats, x, emb, spk=(dvec, dvec_params))[1][0][
+            "g_loss_spk"
+        ]
+    )(params)
+    gnorm = float(
+        jnp.sqrt(
+            sum(jnp.sum(jnp.square(l)) for l in jax.tree_util.tree_leaves(g))
+        )
+    )
+    assert gnorm > 0.0, "speaker-consistency loss produced zero gradients"
+
+
 @pytest.mark.slow
 def test_spectrogram_figure_logging(tmp_path, spmel_iter):
     """Reference-style original/reconstructed figure dumps
