@@ -337,6 +337,11 @@ class WaveNetVocoder:
             return cls(cfg)
         if path.endswith(".npz"):
             flat = dict(np.load(path))
+            # f16 is a storage format (halves the artifact); compute is f32
+            flat = {
+                k: v.astype(np.float32) if v.dtype == np.float16 else v
+                for k, v in flat.items()
+            }
             params = unflatten_params(flat)
             return cls(cfg, params)
         # torch checkpoint (r9y9 format)
