@@ -72,8 +72,15 @@ def main(argv=None):
     ap.add_argument(
         "--init",
         default=None,
-        help="warm-start generator from an .npz checkpoint (e.g. the "
-        "reconstruction-pretrained one, for --gan fine-tuning)",
+        help="warm-start from an .npz checkpoint (hifigan: generator, e.g. "
+        "for --gan fine-tuning; wavenet: params+EMA, fresh optimizer)",
+    )
+    ap.add_argument(
+        "--init_step",
+        type=int,
+        default=0,
+        help="wavenet: offset the noam schedule by this many steps so a "
+        "warm-started run continues the decay instead of re-warming",
     )
     ap.add_argument(
         "--save_every",
@@ -102,7 +109,16 @@ def main(argv=None):
     if args.vocoder == "wavenet":
         from autovc_tpu.vocoder.train_wavenet import WaveNetTrainer, crop_batch
 
-        trainer = WaveNetTrainer(cfg.wavenet, lr=args.lr or 1e-3, seed=args.seed)
+        trainer = WaveNetTrainer(
+            cfg.wavenet, lr=args.lr or 1e-3, seed=args.seed,
+            init_step=args.init_step,
+        )
+        if args.init:
+            trainer.load(args.init)
+            print(
+                f"[train_vocoder] warm-start wavenet from {args.init} "
+                f"(noam schedule offset {args.init_step})"
+            )
 
         def batches():
             while True:

@@ -29,12 +29,14 @@ from autovc_tpu.vocoder.wavenet import (
 )
 
 
-def noam_schedule(warmup: int = 4000):
+def noam_schedule(warmup: int = 4000, init_step: int = 0):
     """lr scale = min(step^-0.5, step * warmup^-1.5) * warmup^0.5
-    (the reference's lr_schedule="noam_learning_rate_decay", hparams.py:142)."""
+    (the reference's lr_schedule="noam_learning_rate_decay", hparams.py:142).
+    init_step offsets the count so a warm-started run continues the decay
+    instead of re-warming."""
 
     def fn(step):
-        s = jnp.maximum(step, 1).astype(jnp.float32)
+        s = jnp.maximum(step + init_step, 1).astype(jnp.float32)
         return jnp.minimum(s**-0.5, s * warmup**-1.5) * warmup**0.5
 
     return fn
@@ -84,11 +86,12 @@ class WaveNetTrainer:
         warmup: int = 4000,
         ema_decay: float = 0.9999,
         seed: int = 0,
+        init_step: int = 0,
     ):
         self.cfg = cfg
         self.params = init_params(cfg, jax.random.PRNGKey(seed))
         self.ema = jax.tree_util.tree_map(jnp.copy, self.params)
-        schedule = noam_schedule(warmup)
+        schedule = noam_schedule(warmup, init_step)
         self.optimizer = optax.adam(
             learning_rate=lambda step: lr * schedule(step), b1=0.9, b2=0.999, eps=1e-8
         )
@@ -130,6 +133,20 @@ class WaveNetTrainer:
                     flush=True,
                 )
         return loss
+
+    def load(self, path: str):
+        """Warm-start params AND ema from a saved .npz checkpoint (f16
+        storage up-cast to f32); optimizer moments restart fresh."""
+        from autovc_tpu.vocoder.wavenet import unflatten_params
+
+        flat = {
+            k: v.astype(np.float32) if v.dtype == np.float16 else v
+            for k, v in dict(np.load(path)).items()
+        }
+        tree = jax.tree_util.tree_map(jnp.asarray, unflatten_params(flat))
+        self.params = tree
+        self.ema = jax.tree_util.tree_map(jnp.copy, tree)
+        self.opt_state = self.optimizer.init(self.params)
 
     def save(self, path: str, use_ema: bool = True):
         """Write an .npz loadable by WaveNetVocoder.from_checkpoint."""

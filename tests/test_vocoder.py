@@ -175,6 +175,24 @@ def test_hifigan_batched():
     assert wav.shape == (2, 4 * 256)
 
 
+def test_wavenet_trainer_warm_start_roundtrip(tmp_path):
+    """trainer.load() warm-starts params AND ema from a saved checkpoint
+    (f16 storage up-cast to f32) — the continued-training path."""
+    from autovc_tpu.vocoder.train_wavenet import WaveNetTrainer, flatten_params
+
+    t1 = WaveNetTrainer(TINY, seed=0)
+    ckpt = str(tmp_path / "wn.npz")
+    flat = {k: v.astype(np.float16) for k, v in flatten_params(t1.ema).items()}
+    np.savez(ckpt, **flat)
+
+    t2 = WaveNetTrainer(TINY, seed=1, init_step=4000)
+    t2.load(ckpt)
+    a = jax.tree_util.tree_leaves(t1.ema)
+    b = jax.tree_util.tree_leaves(t2.params)
+    assert all(x.dtype == jnp.float32 for x in b)
+    assert max(float(jnp.abs(x - y).max()) for x, y in zip(a, b)) < 1e-3
+
+
 def test_crop_batch_hop_alignment():
     """max_time not a multiple of hop (the reference's 8000 @ hop 256) must
     round DOWN so waveform length == frames*hop — the teacher-forced forward
