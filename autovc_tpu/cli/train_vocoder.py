@@ -119,6 +119,20 @@ def main(argv=None):
                 f"[train_vocoder] warm-start wavenet from {args.init} "
                 f"(noam schedule offset {args.init_step})"
             )
+            # exact resume if the sibling train-state exists: raw params +
+            # Adam moments + schedule count (load() above keeps the EMA)
+            if os.path.exists(args.init + ".train_state.npz"):
+                if args.init_step:
+                    raise SystemExit(
+                        "--init_step conflicts with a .train_state.npz resume "
+                        "(the optimizer count already carries the schedule "
+                        "position); pass --init_step 0"
+                    )
+                trainer.restore_train_state(args.init + ".train_state.npz")
+                print(
+                    f"[train_vocoder] restored wavenet train state from "
+                    f"{args.init}.train_state.npz"
+                )
 
         def batches():
             while True:
@@ -176,13 +190,13 @@ def main(argv=None):
             train_fn(batches(), chunk, log_step=args.log_step)
             done += chunk
             trainer.save(out)
-            if args.vocoder == "hifigan" and args.gan:
+            if args.vocoder == "wavenet" or (args.vocoder == "hifigan" and args.gan):
                 trainer.save_train_state(out + ".train_state.npz")
             print(f"[train_vocoder] checkpointed {out} @ {done}/{args.num_iters}")
     else:
         train_fn(batches(), args.num_iters, log_step=args.log_step)
         trainer.save(out)
-        if args.vocoder == "hifigan" and args.gan:
+        if args.vocoder == "wavenet" or (args.vocoder == "hifigan" and args.gan):
             trainer.save_train_state(out + ".train_state.npz")
     print(f"[train_vocoder] saved {out}")
 

@@ -152,3 +152,24 @@ class WaveNetTrainer:
         """Write an .npz loadable by WaveNetVocoder.from_checkpoint."""
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         np.savez(path, **flatten_params(self.ema if use_ema else self.params))
+
+    def save_train_state(self, path: str):
+        """Full resume state: RAW params + Adam moments + schedule count
+        (the .npz written by save() only carries EMA weights). Stored as
+        positional leaves against the (params, opt_state) treedef."""
+        leaves = jax.tree_util.tree_leaves((self.params, self.opt_state))
+        np.savez(path, **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
+
+    def restore_train_state(self, path: str):
+        """Inverse of save_train_state; call after load() so EMA comes from
+        the main checkpoint and params/optimizer resume exactly. The Adam
+        count leaf carries the schedule position — do NOT combine with a
+        nonzero init_step or the noam decay is applied twice."""
+        template = (self.params, self.opt_state)
+        treedef = jax.tree_util.tree_structure(template)
+        data = np.load(path)
+        leaves = [
+            jnp.asarray(data[f"leaf_{i}"])
+            for i in range(len(jax.tree_util.tree_leaves(template)))
+        ]
+        self.params, self.opt_state = jax.tree_util.tree_unflatten(treedef, leaves)

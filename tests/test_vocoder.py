@@ -193,6 +193,34 @@ def test_wavenet_trainer_warm_start_roundtrip(tmp_path):
     assert max(float(jnp.abs(x - y).max()) for x, y in zip(a, b)) < 1e-3
 
 
+def test_wavenet_train_state_roundtrip(tmp_path):
+    """save_train_state/restore_train_state resume RAW params + Adam moments
+    + schedule count exactly, so an interrupted run continues bit-identically."""
+    from autovc_tpu.vocoder.train_wavenet import WaveNetTrainer
+
+    rng = np.random.default_rng(0)
+
+    def batches():
+        while True:
+            x = rng.standard_normal((1, 256, 1)).astype(np.float32) * 0.1
+            c = rng.standard_normal((1, 1, TINY.cin_channels)).astype(np.float32)
+            yield x, c
+
+    t1 = WaveNetTrainer(TINY, seed=0)
+    it = batches()
+    t1.train(it, 2, log_step=10)
+    st = str(tmp_path / "wn.npz.train_state.npz")
+    t1.save_train_state(st)
+
+    t2 = WaveNetTrainer(TINY, seed=3)
+    t2.restore_train_state(st)
+    for a, b in zip(
+        jax.tree_util.tree_leaves((t1.params, t1.opt_state)),
+        jax.tree_util.tree_leaves((t2.params, t2.opt_state)),
+    ):
+        assert float(jnp.abs(jnp.asarray(a, jnp.float32) - jnp.asarray(b, jnp.float32)).max()) == 0.0
+
+
 def test_crop_batch_hop_alignment():
     """max_time not a multiple of hop (the reference's 8000 @ hop 256) must
     round DOWN so waveform length == frames*hop — the teacher-forced forward
