@@ -38,6 +38,18 @@ def main(argv=None):
         "--spk_ckpt", default=None,
         help="GE2E .npz for --lambda_spk (cli.train_speaker_encoder output)",
     )
+    ap.add_argument(
+        "--spk_protocol", default="windowed", choices=["windowed", "crop"],
+        help="lambda_spk protocol: 'windowed' (v2) hinges the evaluation's "
+        "own margin criterion against eval-protocol speaker centroids; "
+        "'crop' (v1) is the round-3 single-window cosine pull (Goodharts — "
+        "kept for the documented study)",
+    )
+    ap.add_argument(
+        "--spk_margin", type=float, default=0.5,
+        help="hinge target for --spk_protocol windowed: pressure stops once "
+        "cos(target centroid) - cos(source centroid) >= this",
+    )
     ap.add_argument("--dim_neck", type=int, default=32)
     ap.add_argument("--dim_emb", type=int, default=256)
     ap.add_argument("--dim_pre", type=int, default=512)
@@ -162,6 +174,8 @@ def main(argv=None):
             lambda_sisnr=args.lambda_SISNR,
             lambda_spk=args.lambda_spk,
             spk_ckpt=args.spk_ckpt,
+            spk_protocol=args.spk_protocol,
+            spk_margin=args.spk_margin,
             batch_size=args.batch_size,
             num_iters=args.num_iters,
             len_crop=args.len_crop,

@@ -123,6 +123,15 @@ class TrainConfig:
     # cosine loss. 0.0 = exactly the reference objective. spmel/stft only.
     lambda_spk: float = 0.0
     spk_ckpt: str | None = None
+    # lambda_spk protocol: 'windowed' (v2) embeds the converted crop with the
+    # EVALUATION's windowed protocol (eval.SpeakerEmbedder: 128-frame windows,
+    # stride 64, mean-then-normalize) and applies a hinge on the eval's own
+    # criterion — cos(e, target centroid) - cos(e, source centroid) >=
+    # spk_margin — against eval-protocol speaker centroids. 'crop' (v1) is the
+    # round-3 single-window cosine pull toward the conditioning embedding,
+    # kept for the documented study (docs/VALIDATION_r3.md §2b: it Goodharts).
+    spk_protocol: str = "windowed"  # 'windowed' | 'crop'
+    spk_margin: float = 0.5  # hinge target for the windowed protocol
     ema_decay: float = 0.9999  # applied as a REAL per-step EMA (ref bug fixed)
     log_step: int = 100
     checkpoint_step: int = 100

@@ -162,6 +162,43 @@ class Solver:
         variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
         return np.asarray(self._recon_fn(variables, x, emb))
 
+    def _speaker_aux_windowed(self, dvec_params):
+        """Build the lambda_spk v2 tables: unit-norm train.pkl conditioning
+        rows (speaker lookup) and eval-protocol centroids (the targets),
+        computed ONCE on the host with the same eval.SpeakerEmbedder the
+        similarity evaluation uses — so training optimizes the quantity the
+        eval measures (cli/evaluate_conversion.py's centroids)."""
+        from autovc_tpu.data.manifest import load_train_manifest
+        from autovc_tpu.eval import SpeakerEmbedder, speaker_centroids
+        from autovc_tpu.models.dvector import DVector
+        from autovc_tpu.train.step import SpeakerAux
+
+        mel_dir = os.path.join(self.cfg.main_dir, "spmel")
+        entries = load_train_manifest(os.path.join(mel_dir, "train.pkl"))
+        embedder = SpeakerEmbedder(dvec_params)
+        mels = {
+            e.speaker_id: [
+                np.load(os.path.join(mel_dir, rel))
+                for rel in e.utterances[: self.cfg.speaker.num_uttrs]
+            ]
+            for e in entries
+        }
+        cents = speaker_centroids(embedder, mels)
+        table = np.stack([e.embedding for e in entries]).astype(np.float32)
+        table /= np.linalg.norm(table, axis=-1, keepdims=True) + 1e-8
+        print(
+            f"[solver] lambda_spk windowed protocol: eval centroids for "
+            f"{len(entries)} speakers (margin {self.cfg.train.spk_margin})"
+        )
+        return SpeakerAux(
+            DVector(),
+            dvec_params,
+            emb_table=jnp.asarray(table),
+            centroids=jnp.asarray(
+                np.stack([cents[e.speaker_id] for e in entries]).astype(np.float32)
+            ),
+        )
+
     def _compile_step(self):
         spk = None
         if self.cfg.train.lambda_spk > 0:
@@ -171,10 +208,16 @@ class Solver:
 
             dvec_params = GE2ETrainer.load_params(self.cfg.train.spk_ckpt)
             dvec_params = dvec_params.get("dvector", dvec_params)
-            spk = (DVector(), dvec_params)
+            if self.cfg.train.spk_protocol == "windowed":
+                spk = self._speaker_aux_windowed(dvec_params)
+            else:
+                from autovc_tpu.train.step import SpeakerAux
+
+                spk = SpeakerAux(DVector(), dvec_params)
             print(
                 f"[solver] speaker-consistency aux on "
                 f"(lambda_spk={self.cfg.train.lambda_spk}, "
+                f"protocol={self.cfg.train.spk_protocol}, "
                 f"frozen encoder: {self.cfg.train.spk_ckpt})"
             )
         raw = make_train_step(self.model, self.cfg, self.optimizer, spk=spk)
@@ -206,6 +249,8 @@ class Solver:
         ]
         if cfg.train.lambda_spk > 0 and cfg.model.model_type != "wav":
             log_keys.append("g_loss_spk")
+            if cfg.train.spk_protocol == "windowed":
+                log_keys.append("g_spk_margin")
 
         # failure handling (SURVEY §5.3): save a checkpoint on SIGTERM/SIGINT
         # (preemption-safe), retry transient data errors, halt on non-finite

@@ -17,7 +17,7 @@ the gradient all-reduce over ICI. Donated state avoids double-buffering the
 from __future__ import annotations
 
 import functools
-from typing import Callable
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +27,57 @@ from autovc_tpu.config import Config
 from autovc_tpu.losses import l1, mse, si_snr_loss
 from autovc_tpu.train import schedule as sched
 from autovc_tpu.train.state import TrainState, ema_update
+
+
+class SpeakerAux(NamedTuple):
+    """Frozen speaker encoder (+ optional eval-protocol tables) for the
+    lambda_spk auxiliary.
+
+    v1 ('crop'): only (model, params) — single-window cosine pull toward the
+    conditioning embedding. Documented to Goodhart the frozen encoder
+    (docs/VALIDATION_r3.md §2b).
+
+    v2 ('windowed'): emb_table/centroids present — the converted crop is
+    embedded with the EVALUATION's exact windowed protocol
+    (eval.SpeakerEmbedder), the batch row's speaker recovered by nearest
+    neighbor of its conditioning embedding in the train.pkl table, and a
+    hinge enforces the eval's own success criterion
+    cos(e, target centroid) - cos(e, source centroid) >= spk_margin.
+    Optimizing the measured quantity (instead of the v1 proxy) and stopping
+    the gradient once the margin is met are the two anti-Goodhart changes.
+    """
+
+    model: object  # DVector (a flax Module — captured as a traced constant)
+    params: dict
+    emb_table: jnp.ndarray | None = None  # (N, dim_emb) unit-norm train.pkl rows
+    centroids: jnp.ndarray | None = None  # (N, dim_emb) unit-norm eval centroids
+
+
+def windowed_embed(dvec_model, dvec_params, mel, len_crop: int = 128,
+                   stride: int = 64):
+    """jit-traceable twin of eval.SpeakerEmbedder.embed for a static-T batch.
+
+    (B, T, n_mels) -> (B, dim_emb) unit vectors: 128-frame windows at stride
+    64 (tail window always included), per-window d-vector, mean over windows,
+    L2-normalize. Matches the evaluation protocol exactly for T >= len_crop;
+    shorter inputs are zero-padded to one window, as in the eval."""
+    b, t, c = mel.shape
+    if t <= len_crop:
+        w = mel if t == len_crop else jnp.pad(
+            mel, ((0, 0), (0, len_crop - t), (0, 0))
+        )
+        wins = w[:, None]
+    else:
+        starts = list(range(0, t - len_crop + 1, stride))
+        if starts[-1] != t - len_crop:  # always cover the tail
+            starts.append(t - len_crop)
+        wins = jnp.stack([mel[:, s : s + len_crop] for s in starts], axis=1)
+    n_win = wins.shape[1]
+    e = dvec_model.apply(
+        {"params": dvec_params}, wins.reshape(b * n_win, len_crop, c)
+    )
+    e = e.reshape(b, n_win, e.shape[-1]).mean(axis=1)
+    return e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-12)
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
@@ -72,16 +123,40 @@ def loss_fn(model, cfg: Config, params, batch_stats, x, emb, train: bool = True,
         }
         if spk is not None and cfg.train.lambda_spk > 0:
             assert mt == "spmel", "lambda_spk requires mel-domain outputs"
-            dvec_model, dvec_params = spk
+            if not isinstance(spk, SpeakerAux):
+                spk = SpeakerAux(*spk)
             emb_trg = jnp.roll(emb, 1, axis=0)  # within-batch cross-pairs
             x_conv = model.apply(
                 variables, x, emb, emb_trg, train=False
             )[1]  # postnet output, eval-mode BN (running stats, no mutation)
-            e_conv = dvec_model.apply({"params": dvec_params}, x_conv)
-            e_trg = emb_trg / (
-                jnp.linalg.norm(emb_trg, axis=-1, keepdims=True) + 1e-8
-            )
-            g_loss_spk = jnp.mean(1.0 - jnp.sum(e_conv * e_trg, axis=-1))
+            if cfg.train.spk_protocol == "windowed" and spk.centroids is not None:
+                # v2: the eval's own quantity. Windowed embedding of the
+                # conversion, speakers recovered from the conditioning rows,
+                # hinge on margin-to-centroids (see SpeakerAux docstring).
+                e_conv = windowed_embed(spk.model, spk.params, x_conv)
+                emb_n = emb / (
+                    jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8
+                )
+                src_idx = jnp.argmax(emb_n @ spk.emb_table.T, axis=-1)
+                trg_idx = jnp.roll(src_idx, 1, axis=0)
+                cos_trg = jnp.sum(e_conv * spk.centroids[trg_idx], axis=-1)
+                cos_src = jnp.sum(e_conv * spk.centroids[src_idx], axis=-1)
+                margin = cos_trg - cos_src
+                valid = (src_idx != trg_idx).astype(margin.dtype)
+                n_valid = jnp.maximum(jnp.sum(valid), 1.0)
+                g_loss_spk = (
+                    jnp.sum(jax.nn.relu(cfg.train.spk_margin - margin) * valid)
+                    / n_valid
+                )
+                metrics = dict(
+                    metrics, g_spk_margin=jnp.sum(margin * valid) / n_valid
+                )
+            else:  # v1 'crop': single-window pull toward the conditioning row
+                e_conv = spk.model.apply({"params": spk.params}, x_conv)
+                e_trg = emb_trg / (
+                    jnp.linalg.norm(emb_trg, axis=-1, keepdims=True) + 1e-8
+                )
+                g_loss_spk = jnp.mean(1.0 - jnp.sum(e_conv * e_trg, axis=-1))
             total = total + cfg.train.lambda_spk * g_loss_spk
             metrics = dict(metrics, g_loss=total, g_loss_spk=g_loss_spk)
         new_stats = upd2["batch_stats"] if train else batch_stats

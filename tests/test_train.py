@@ -256,6 +256,85 @@ def test_speaker_consistency_auxiliary(spmel_iter):
     assert gnorm > 0.0, "speaker-consistency loss produced zero gradients"
 
 
+def test_windowed_embed_matches_eval_protocol():
+    """train.step.windowed_embed is a jit-traceable twin of
+    eval.SpeakerEmbedder.embed (128-frame windows, stride 64, tail window,
+    mean-then-normalize) — lambda_spk v2 optimizes exactly the quantity
+    cli.evaluate_conversion measures."""
+    from autovc_tpu.eval import SpeakerEmbedder
+    from autovc_tpu.models.dvector import DVector
+    from autovc_tpu.train.step import windowed_embed
+
+    dvec = DVector(dim_cell=64, dim_emb=16)
+    params = dvec.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 80)))["params"]
+    embedder = SpeakerEmbedder(params, dim_cell=64, dim_emb=16)
+    rng = np.random.default_rng(0)
+    for t in (300, 256, 128, 100):  # multi-window w/ tail, exact, one, pad
+        mel = rng.standard_normal((t, 80)).astype(np.float32)
+        e_eval = embedder.embed(mel)
+        e_step = np.asarray(windowed_embed(dvec, params, jnp.asarray(mel)[None]))[0]
+        np.testing.assert_allclose(e_eval, e_step, atol=2e-5)
+
+
+def test_speaker_consistency_windowed_protocol(spmel_iter):
+    """lambda_spk v2: hinge on the eval's margin criterion against
+    eval-protocol centroids, speakers recovered from the conditioning rows.
+    Composition holds, the margin metric is reported, gradients flow, and
+    same-speaker pairs are masked out (loss exactly 0)."""
+    from autovc_tpu.models import build_generator
+    from autovc_tpu.models.dvector import DVector
+    from autovc_tpu.train.step import SpeakerAux, loss_fn
+
+    cfg0 = Config(model=ModelConfig(model_type="spmel"), train=TrainConfig())
+    cfg1 = Config(
+        model=ModelConfig(model_type="spmel"),
+        train=TrainConfig(lambda_spk=0.1, spk_ckpt="unused-here", spk_margin=0.5),
+    )
+    assert cfg1.train.spk_protocol == "windowed"  # the default
+    model = build_generator(cfg0.model)
+    x, _ = next(spmel_iter())
+    x = jnp.asarray(x)
+    rng = np.random.default_rng(3)
+    table = rng.standard_normal((2, 256)).astype(np.float32)
+    table /= np.linalg.norm(table, axis=-1, keepdims=True)
+    cents = rng.standard_normal((2, 256)).astype(np.float32)
+    cents /= np.linalg.norm(cents, axis=-1, keepdims=True)
+    emb = jnp.asarray(table)  # batch rows ARE the table rows (as in training)
+    variables = model.init(jax.random.PRNGKey(0), x, emb, emb)
+    params, stats = variables["params"], variables.get("batch_stats", {})
+    dvec = DVector()
+    dvec_params = dvec.init(jax.random.PRNGKey(1), x)["params"]
+    aux = SpeakerAux(dvec, dvec_params, jnp.asarray(table), jnp.asarray(cents))
+
+    total0, (m0, _) = loss_fn(model, cfg0, params, stats, x, emb)
+    total1, (m1, _) = loss_fn(model, cfg1, params, stats, x, emb, spk=aux)
+    assert np.isfinite(float(m1["g_loss_spk"]))
+    assert 0.0 <= float(m1["g_loss_spk"]) <= cfg1.train.spk_margin + 2.0
+    assert np.isfinite(float(m1["g_spk_margin"]))
+    assert float(total1) == pytest.approx(
+        float(total0) + 0.1 * float(m1["g_loss_spk"]), rel=1e-5
+    )
+    # hinge consistency: loss >= margin_target - measured_margin (hinge of mean)
+    assert (
+        float(m1["g_loss_spk"])
+        >= max(0.0, 0.5 - float(m1["g_spk_margin"])) - 1e-4
+    )
+    # gradients flow through the conversion into the generator
+    g = jax.grad(
+        lambda p: loss_fn(model, cfg1, p, stats, x, emb, spk=aux)[1][0][
+            "g_loss_spk"
+        ]
+    )(params)
+    gnorm = float(
+        jnp.sqrt(sum(jnp.sum(jnp.square(l)) for l in jax.tree_util.tree_leaves(g)))
+    )
+    assert gnorm > 0.0
+    # a same-speaker batch (both rows = table row 0) is fully masked
+    emb_same = jnp.tile(emb[:1], (2, 1))
+    _, (m_same, _) = loss_fn(model, cfg1, params, stats, x, emb_same, spk=aux)
+    assert float(m_same["g_loss_spk"]) == 0.0
+
+
 @pytest.mark.slow
 def test_spectrogram_figure_logging(tmp_path, spmel_iter):
     """Reference-style original/reconstructed figure dumps
