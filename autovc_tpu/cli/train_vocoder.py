@@ -120,14 +120,12 @@ def main(argv=None):
                 f"(noam schedule offset {args.init_step})"
             )
             # exact resume if the sibling train-state exists: raw params +
-            # Adam moments + schedule count (load() above keeps the EMA)
+            # Adam moments + schedule count (load() above keeps the EMA).
+            # --init_step must MATCH the run that wrote the state: the
+            # effective noam position is count + init_step, and the count
+            # leaf only carries steps since that trainer was constructed
+            # (restore_train_state validates via the saved metadata).
             if os.path.exists(args.init + ".train_state.npz"):
-                if args.init_step:
-                    raise SystemExit(
-                        "--init_step conflicts with a .train_state.npz resume "
-                        "(the optimizer count already carries the schedule "
-                        "position); pass --init_step 0"
-                    )
                 trainer.restore_train_state(args.init + ".train_state.npz")
                 print(
                     f"[train_vocoder] restored wavenet train state from "

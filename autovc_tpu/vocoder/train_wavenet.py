@@ -91,6 +91,7 @@ class WaveNetTrainer:
         self.cfg = cfg
         self.params = init_params(cfg, jax.random.PRNGKey(seed))
         self.ema = jax.tree_util.tree_map(jnp.copy, self.params)
+        self.init_step = init_step
         schedule = noam_schedule(warmup, init_step)
         self.optimizer = optax.adam(
             learning_rate=lambda step: lr * schedule(step), b1=0.9, b2=0.999, eps=1e-8
@@ -156,18 +157,49 @@ class WaveNetTrainer:
     def save_train_state(self, path: str):
         """Full resume state: RAW params + Adam moments + schedule count
         (the .npz written by save() only carries EMA weights). Stored as
-        positional leaves against the (params, opt_state) treedef."""
+        positional leaves against the (params, opt_state) treedef, plus the
+        trainer's init_step so a resume can reconstruct the same schedule
+        closure (the effective noam position is count + init_step)."""
         leaves = jax.tree_util.tree_leaves((self.params, self.opt_state))
-        np.savez(path, **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
+        np.savez(
+            path,
+            meta_init_step=np.int64(self.init_step),
+            **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)},
+        )
 
     def restore_train_state(self, path: str):
         """Inverse of save_train_state; call after load() so EMA comes from
-        the main checkpoint and params/optimizer resume exactly. The Adam
-        count leaf carries the schedule position — do NOT combine with a
-        nonzero init_step or the noam decay is applied twice."""
+        the main checkpoint and params/optimizer resume exactly.
+
+        The effective noam position is (optimizer count + the ORIGINATING
+        trainer's init_step closure): the count leaf only carries steps taken
+        since that trainer was constructed. The resuming trainer must
+        therefore be built with the SAME init_step, which also makes the
+        jitted step byte-identical and hits the persistent XLA cache. The
+        saved meta_init_step enforces this (train states written before the
+        metadata existed get a warning instead)."""
+        data = np.load(path)
+        if "meta_init_step" in data:
+            saved = int(data["meta_init_step"])
+            if saved != self.init_step:
+                raise ValueError(
+                    f"train state {path} was written by a trainer with "
+                    f"init_step={saved}; this trainer was built with "
+                    f"init_step={self.init_step}. Rebuild the trainer (or "
+                    f"pass --init_step {saved}) so the noam schedule resumes "
+                    f"at the right position."
+                )
+        else:
+            import warnings
+
+            warnings.warn(
+                f"{path} predates init_step metadata; trusting this "
+                f"trainer's init_step={self.init_step} to match the run "
+                f"that wrote it",
+                stacklevel=2,
+            )
         template = (self.params, self.opt_state)
         treedef = jax.tree_util.tree_structure(template)
-        data = np.load(path)
         leaves = [
             jnp.asarray(data[f"leaf_{i}"])
             for i in range(len(jax.tree_util.tree_leaves(template)))

@@ -221,6 +221,28 @@ def test_wavenet_train_state_roundtrip(tmp_path):
         assert float(jnp.abs(jnp.asarray(a, jnp.float32) - jnp.asarray(b, jnp.float32)).max()) == 0.0
 
 
+def test_wavenet_train_state_init_step_mismatch(tmp_path):
+    """The effective noam position is count + the ORIGINATING trainer's
+    init_step closure; restoring into a trainer built with a different
+    init_step would silently shift the lr schedule (regression: the r3b
+    resume would have run at ~1.9x the intended lr). The saved metadata
+    must reject the mismatch and accept the match."""
+    import pytest
+
+    from autovc_tpu.vocoder.train_wavenet import WaveNetTrainer
+
+    t1 = WaveNetTrainer(TINY, seed=0, init_step=40000)
+    st = str(tmp_path / "wn.npz.train_state.npz")
+    t1.save_train_state(st)
+
+    t2 = WaveNetTrainer(TINY, seed=1, init_step=0)
+    with pytest.raises(ValueError, match="init_step=40000"):
+        t2.restore_train_state(st)
+
+    t3 = WaveNetTrainer(TINY, seed=1, init_step=40000)
+    t3.restore_train_state(st)  # matching closure: accepted
+
+
 def test_crop_batch_hop_alignment():
     """max_time not a multiple of hop (the reference's 8000 @ hop 256) must
     round DOWN so waveform length == frames*hop — the teacher-forced forward
