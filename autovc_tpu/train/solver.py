@@ -98,6 +98,8 @@ class Solver:
         self._snap_fn = None  # jitted on-device state copy (built lazily)
         self._save_thread = None  # at most one orbax save in flight
         self._save_error: Exception | None = None
+        self._saves_skipped = 0  # periodic saves dropped while one in flight
+        self._last_saved_step = -1  # last step actually handed to orbax
         self._watch_fn = None  # param/grad histogram observer (train/watch.py)
 
         self.state = self._init_state()
@@ -277,7 +279,7 @@ class Solver:
         while i < num_iters:
             if stop_requested["flag"]:
                 print(f"[solver] termination requested at step {i}; checkpointing")
-                self.save(i)
+                self.save(i, wait=True)
                 break
             try:
                 x, emb = next(data_iter)
@@ -343,22 +345,31 @@ class Solver:
             prefetcher.close()
         for sig, h in old_handlers.items():
             signal.signal(sig, h)
+        # a checkpoint-boundary save skipped because the previous one was
+        # still in flight must not drop the FINAL state of the run
+        if (
+            not stop_requested["flag"]
+            and i % cfg.train.checkpoint_step == 0
+            and self._last_saved_step != i
+            and last_metrics
+        ):
+            self.save(i, wait=True)
         self.finish_saves()
         return last_metrics
 
     # ------------------------------------------------------------ checkpoint
 
-    def save(self, step: int):
+    def save(self, step: int, wait: bool = False):
         import time as _time
 
         t0 = _time.time()
-        self._save(step)
+        self._save(step, wait=wait)
         stall = (_time.time() - t0) * 1000.0
         self.save_stall_ms.append(stall)
         if stall > 2000:
             print(f"[solver] checkpoint save blocked the loop {stall:.0f} ms")
 
-    def _save(self, step: int):
+    def _save(self, step: int, wait: bool = False):
         """Snapshot-then-save: orbax's "async" save still performs the
         device-to-host fetch synchronously — ~20s of train-loop stall for this
         model's 456MB state on a tunnel-attached TPU (measured; only the disk
@@ -368,7 +379,12 @@ class Solver:
         copy is required for correctness: the train step donates the state
         buffers, so by the time the thread fetches them the originals have
         been reused; the snapshot gives the thread its own buffers. One save
-        in flight at a time (next save joins the previous).
+        in flight at a time. A periodic save that finds the previous one
+        still in flight is SKIPPED (wait=False) instead of blocking the
+        train loop — through a tunnel-attached TPU a save can take 80-98 s
+        wall, so a small checkpoint_step would otherwise make the loop
+        save-bound (measured round 3). Final saves (SIGTERM, end of run)
+        pass wait=True and block until the slot frees.
 
         Multi-process runs save synchronously: orbax's save() begins with a
         sync_global_processes collective, and collectives issued from a
@@ -377,15 +393,20 @@ class Solver:
         'sync_global_devices name mismatch' aborts)."""
         if jax.process_count() > 1:
             self._orbax_save(step, self.state)
+            self._last_saved_step = step
             return
-        if self._snap_fn is None:
-            self._snap_fn = jax.jit(
-                lambda s: jax.tree_util.tree_map(jnp.copy, s)
-            )
-        snap = self._snap_fn(self.state)
         if self._save_thread is not None:
+            if self._save_thread.is_alive() and not wait:
+                self._saves_skipped += 1
+                return
             self._save_thread.join()
             self._save_thread = None
+        if self._saves_skipped:
+            print(
+                f"[solver] {self._saves_skipped} checkpoint(s) skipped while "
+                f"the previous save was in flight"
+            )
+            self._saves_skipped = 0
         if self._save_error is not None:
             # A failed background save (disk full, bad perms, ...) must stop
             # training NOW: checkpoints are the recovery path, and deferring
@@ -396,6 +417,11 @@ class Solver:
                 "checkpoint save failed", f"background orbax save raised: {exc!r}"
             )
             raise exc
+        if self._snap_fn is None:
+            self._snap_fn = jax.jit(
+                lambda s: jax.tree_util.tree_map(jnp.copy, s)
+            )
+        snap = self._snap_fn(self.state)
 
         def _bg():
             try:
@@ -407,6 +433,7 @@ class Solver:
 
         self._save_thread = threading.Thread(target=_bg, daemon=True)
         self._save_thread.start()
+        self._last_saved_step = step
 
     def _orbax_save(self, step: int, state: TrainState):
         self.ckptr.save(

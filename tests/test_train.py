@@ -537,3 +537,44 @@ def test_watch_histograms_logged(tmp_path, spmel_iter):
     assert any(n.startswith("grad/") for n in names)
     one = next(iter(hists[-1]["histograms"].values()))
     assert sum(one["counts"]) > 0 and np.isfinite(one["rms"])
+
+
+def test_periodic_saves_skip_while_previous_in_flight(tmp_path, spmel_iter):
+    """Through a tunnel-attached TPU an orbax save can take 80-98 s wall;
+    periodic saves must SKIP (not block the train loop) while the previous
+    background save is still running, final saves (wait=True) must block,
+    and a failed background save must fail fast at the next save point."""
+    import threading
+    import time
+
+    cfg = tiny_cfg(tmp_path)
+    solver = Solver(cfg, spmel_iter(), run_dir=str(tmp_path / "skip"))
+    calls = []
+    gate = threading.Event()
+
+    def slow_save(step, state):
+        calls.append(step)
+        gate.wait(10.0)
+
+    solver._orbax_save = slow_save
+    solver.save(1)  # starts the background save (blocked on gate)
+    t0 = time.time()
+    solver.save(2)  # previous in flight: skipped, returns immediately
+    assert time.time() - t0 < 1.0
+    assert solver._saves_skipped == 1
+    gate.set()
+    solver.save(3, wait=True)  # blocks until the slot frees, then saves
+    solver._save_thread.join()
+    assert calls == [1, 3]
+    assert solver._saves_skipped == 0  # reported and reset on the next save
+
+    # fail-fast: a background save error surfaces at the NEXT save, not at
+    # the end of a multi-hour run
+    def bad_save(step, state):
+        raise RuntimeError("disk full")
+
+    solver._orbax_save = bad_save
+    solver.save(4)
+    solver._save_thread.join()
+    with pytest.raises(RuntimeError, match="disk full"):
+        solver.save(5)
