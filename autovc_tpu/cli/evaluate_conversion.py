@@ -33,16 +33,6 @@ import os
 import numpy as np
 
 
-def _load_speaker_mels(feature_dir: str, entries, max_per_speaker: int = 10):
-    mels = {}
-    for e in entries:
-        out = []
-        for rel in e.utterances[:max_per_speaker]:
-            out.append(np.load(os.path.join(feature_dir, rel)))
-        mels[e.speaker_id] = out
-    return mels
-
-
 def main(argv=None):
     from autovc_tpu.cli._common import add_platform_arg, apply_platform
 
@@ -79,6 +69,7 @@ def main(argv=None):
     from autovc_tpu.data.manifest import load_train_manifest
     from autovc_tpu.eval import (
         SpeakerEmbedder,
+        load_speaker_mels,
         similarity_record,
         speaker_centroids,
         summarize_similarity,
@@ -94,7 +85,7 @@ def main(argv=None):
     # --- the similarity yardstick: OUR encoder, real-utterance centroids
     embedder = SpeakerEmbedder(GE2ETrainer.load_params(args.dvector_ckpt))
     print(f"[evaluate_conversion] building centroids for {len(entries)} speakers")
-    mels_by_spk = _load_speaker_mels(mel_dir, entries, args.centroid_utts)
+    mels_by_spk = load_speaker_mels(mel_dir, entries, args.centroid_utts)
     centroids = speaker_centroids(embedder, mels_by_spk)
 
     # --- the conversion matrix with the TRAINED generator (conditioned on the
@@ -132,12 +123,21 @@ def main(argv=None):
             for m in converted
         ]
 
-    # --- score: cross pairs by speaker similarity, identity pairs by recon
+    # --- score: cross pairs by speaker similarity, identity pairs by recon.
+    # Outputs are mel (convert_batch(to_mel=True) projects stft -> 80 bins),
+    # so stft source features must go through the SAME mel basis before any
+    # comparison — raw 513-bin STFT against 80-bin mel would broadcast-error.
+    def _src_mel(spec):
+        if args.model_type == "stft":
+            return np.asarray(jnp.asarray(spec.src_features) @ converter._mel_basis)
+        return spec.src_features
+
     records, recon_l1 = [], []
     for spec, mel_out in zip(specs, converted):
+        src_mel = _src_mel(spec)
         if spec.trg_speaker == _src_speaker(spec):
-            n = min(mel_out.shape[0], spec.src_features.shape[0])
-            recon_l1.append(float(np.abs(mel_out[:n] - spec.src_features[:n]).mean()))
+            n = min(mel_out.shape[0], src_mel.shape[0])
+            recon_l1.append(float(np.abs(mel_out[:n] - src_mel[:n]).mean()))
         records.append(
             similarity_record(
                 embedder,
@@ -145,7 +145,7 @@ def main(argv=None):
                 mel_out,
                 src=_src_speaker(spec),
                 trg=spec.trg_speaker,
-                orig_mel=spec.src_features if args.model_type == "spmel" else None,
+                orig_mel=src_mel,
             )
         )
 

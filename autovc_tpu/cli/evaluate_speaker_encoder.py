@@ -62,6 +62,17 @@ def main(argv=None):
 
     embeds, labels, names = [], [], []
     for sid, (entry, utts) in enumerate(zip(ds.entries, ds.features)):
+        if args.holdout and len(utts) <= args.holdout:
+            # train_speaker_encoder only trims speakers with MORE than
+            # `holdout` utterances (train_speaker_encoder.py), so this
+            # speaker trained on everything — scoring its utterances as
+            # held-out would silently mix train-set trials into the EER
+            print(
+                f"[evaluate_speaker_encoder] skipping {entry.speaker_id}: "
+                f"{len(utts)} utterances <= holdout {args.holdout} "
+                f"(all were seen in training)"
+            )
+            continue
         sel = utts[-args.holdout :] if args.holdout else utts
         rel = entry.utterances[-args.holdout :] if args.holdout else entry.utterances
         for mel, name in zip(sel, rel):
@@ -70,9 +81,10 @@ def main(argv=None):
             names.append(name)
     embeds = np.stack(embeds)
     labels = np.asarray(labels)
+    n_speakers = len(set(labels.tolist()))
     print(
         f"[evaluate_speaker_encoder] {len(embeds)} utterances, "
-        f"{len(ds.entries)} speakers"
+        f"{n_speakers} speakers"
         + (f" (held-out last {args.holdout}/speaker)" if args.holdout else "")
     )
 
@@ -81,7 +93,7 @@ def main(argv=None):
         "eer": eer,
         "threshold": thresh,
         "utterances": len(embeds),
-        "speakers": len(ds.entries),
+        "speakers": n_speakers,
         "holdout": args.holdout,
         **embedding_separation(embeds, labels),
     }

@@ -131,7 +131,8 @@ class TrainConfig:
     # round-3 single-window cosine pull toward the conditioning embedding,
     # kept for the documented study (docs/VALIDATION_r3.md §2b: it Goodharts).
     spk_protocol: str = "windowed"  # 'windowed' | 'crop'
-    spk_margin: float = 0.5  # hinge target for the windowed protocol
+    spk_margin: float = 1.5  # hinge target (windowed); <=~1.1 is inert —
+    # crop margins already sit there (the 100% result used 1.5)
     ema_decay: float = 0.9999  # applied as a REAL per-step EMA (ref bug fixed)
     log_step: int = 100
     checkpoint_step: int = 100

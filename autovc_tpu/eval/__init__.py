@@ -76,6 +76,25 @@ class SpeakerEmbedder:
         return m / (np.linalg.norm(m) + 1e-12)
 
 
+def load_speaker_mels(
+    feature_dir: str, entries, max_per_speaker: int = 10
+) -> dict[str, list[np.ndarray]]:
+    """The centroid input recipe: the FIRST max_per_speaker manifest
+    utterances per speaker, loaded from feature_dir. Shared by
+    cli.evaluate_conversion and the Solver's lambda_spk 'windowed'
+    protocol — the training-side centroids must match the eval-side
+    recipe exactly, so there is exactly one copy of it."""
+    import os
+
+    return {
+        e.speaker_id: [
+            np.load(os.path.join(feature_dir, rel))
+            for rel in e.utterances[:max_per_speaker]
+        ]
+        for e in entries
+    }
+
+
 def speaker_centroids(
     embedder: SpeakerEmbedder, mels_by_speaker: dict[str, list[np.ndarray]]
 ) -> dict[str, np.ndarray]:

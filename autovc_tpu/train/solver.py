@@ -171,20 +171,18 @@ class Solver:
         similarity evaluation uses — so training optimizes the quantity the
         eval measures (cli/evaluate_conversion.py's centroids)."""
         from autovc_tpu.data.manifest import load_train_manifest
-        from autovc_tpu.eval import SpeakerEmbedder, speaker_centroids
+        from autovc_tpu.eval import (
+            SpeakerEmbedder,
+            load_speaker_mels,
+            speaker_centroids,
+        )
         from autovc_tpu.models.dvector import DVector
         from autovc_tpu.train.step import SpeakerAux
 
         mel_dir = os.path.join(self.cfg.main_dir, "spmel")
         entries = load_train_manifest(os.path.join(mel_dir, "train.pkl"))
         embedder = SpeakerEmbedder(dvec_params)
-        mels = {
-            e.speaker_id: [
-                np.load(os.path.join(mel_dir, rel))
-                for rel in e.utterances[: self.cfg.speaker.num_uttrs]
-            ]
-            for e in entries
-        }
+        mels = load_speaker_mels(mel_dir, entries, self.cfg.speaker.num_uttrs)
         cents = speaker_centroids(embedder, mels)
         table = np.stack([e.embedding for e in entries]).astype(np.float32)
         table /= np.linalg.norm(table, axis=-1, keepdims=True) + 1e-8
@@ -222,6 +220,7 @@ class Solver:
                 f"protocol={self.cfg.train.spk_protocol}, "
                 f"frozen encoder: {self.cfg.train.spk_ckpt})"
             )
+        self._spk_aux = spk  # reused by the watch observer (same grad field)
         raw = make_train_step(self.model, self.cfg, self.optimizer, spk=spk)
         bsh = batch_sharding(self.mesh)
         rep = replicated(self.mesh)
@@ -274,6 +273,7 @@ class Solver:
         print("Starting training...", flush=True)
         i = int(self.state.step)
         last_metrics = {}
+        m = None
         self.history: list[dict] = []
         data_failures = 0
         while i < num_iters:
@@ -329,7 +329,9 @@ class Solver:
                 if self._watch_fn is None:
                     from autovc_tpu.train.watch import make_watch_fn
 
-                    self._watch_fn = make_watch_fn(self.model, cfg)
+                    self._watch_fn = make_watch_fn(
+                        self.model, cfg, spk=self._spk_aux
+                    )
                 self.metrics.log_histograms(i, self._watch_fn(self.state, x, emb))
             if i % cfg.train.checkpoint_step == 0:
                 # never persist a non-finite state (would poison auto-resume)
@@ -345,13 +347,18 @@ class Solver:
             prefetcher.close()
         for sig, h in old_handlers.items():
             signal.signal(sig, h)
-        # a checkpoint-boundary save skipped because the previous one was
-        # still in flight must not drop the FINAL state of the run
+        # checkpoint-boundary saves skipped because the previous one was
+        # still in flight must not leave the END of the run unpersisted:
+        # if the last boundary crossed has no save at-or-after it, persist
+        # the final state (any step id is fine for orbax), gated on the
+        # same finite-loss rule as periodic saves
+        cs = cfg.train.checkpoint_step
         if (
             not stop_requested["flag"]
-            and i % cfg.train.checkpoint_step == 0
-            and self._last_saved_step != i
-            and last_metrics
+            and m is not None
+            and i >= cs
+            and self._last_saved_step < (i // cs) * cs
+            and np.isfinite(float(m["g_loss"]))
         ):
             self.save(i, wait=True)
         self.finish_saves()

@@ -44,19 +44,20 @@ def tree_histograms(tree, bins: int = 64) -> dict:
     return out
 
 
-def make_watch_fn(model, cfg: Config, bins: int = 64):
+def make_watch_fn(model, cfg: Config, bins: int = 64, spk=None):
     """Build the jitted observer: (state, x, emb) -> {'param/...', 'grad/...'}.
 
     Gradients are recomputed from the same loss_fn the train step uses
-    (train/step.py), in eval-free train mode, so the histograms describe the
-    exact training gradient field.
+    (train/step.py) — including the speaker-consistency auxiliary when
+    lambda_spk is on (pass the Solver's SpeakerAux) — in eval-free train
+    mode, so the histograms describe the exact training gradient field.
     """
     from autovc_tpu.train.step import loss_fn
 
     @jax.jit
     def watch_fn(state, x, emb):
         grads = jax.grad(
-            lambda p: loss_fn(model, cfg, p, state.batch_stats, x, emb)[0]
+            lambda p: loss_fn(model, cfg, p, state.batch_stats, x, emb, spk=spk)[0]
         )(state.params)
         hists = {}
         for name, h in tree_histograms(state.params, bins).items():

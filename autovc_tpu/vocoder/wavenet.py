@@ -323,12 +323,23 @@ class WaveNetVocoder:
 
     def __init__(self, cfg: WaveNetConfig, params: dict | None = None, seed: int = 0):
         self.cfg = cfg
-        self.params = params if params is not None else init_params(cfg, jax.random.PRNGKey(seed))
         # engine='pallas' weight layout, cached per dtype: pack_weights
         # re-stacks ~50 MB of layer weights through dozens of eager
         # dispatches — repeating that per generate() call dominates the
-        # latency engine's per-call overhead on tunneled devices.
+        # latency engine's per-call overhead on tunneled devices. The
+        # params setter clears it so a rebound tree can't synthesize with
+        # stale packed weights.
         self._packed: dict = {}
+        self.params = params if params is not None else init_params(cfg, jax.random.PRNGKey(seed))
+
+    @property
+    def params(self) -> dict:
+        return self._params
+
+    @params.setter
+    def params(self, value: dict) -> None:
+        self._params = value
+        self._packed.clear()
 
     @classmethod
     def from_checkpoint(cls, cfg: WaveNetConfig, path: str | None):

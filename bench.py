@@ -121,6 +121,7 @@ def main():
     parity_path = os.path.join(art_dir, "bf16_parity.json")
     want_bf16 = os.environ.get("BENCH_DTYPE", "bf16") != "f32"
     use_bf16 = False
+    e2e = gen_model = voc_params = None  # reused from a fresh parity measure
     if want_bf16:
         if os.path.exists(parity_path):
             with open(parity_path) as f:
@@ -157,16 +158,26 @@ def main():
             except OSError:
                 pass
             use_bf16 = parity["ok"]
+            # the winning program is already compiled — reuse it instead of
+            # rebuilding an identical closure (a full redundant AOT compile
+            # on this tunnel when the persistent cache is cold)
+            if use_bf16:
+                gen_model, voc_params, e2e = model_bf16, voc_params_bf16, e2e_bf16
+            else:
+                gen_model, voc_params, e2e = model, voc.params, e2e_f32
 
-    if use_bf16:
-        gen_model = build_generator(_dc_replace(cfg.model, compute_dtype="bfloat16"))
-        voc_params = jax.tree_util.tree_map(
-            lambda a: jnp.asarray(a, jnp.bfloat16), voc.params
-        )
-        dtype_name = "bf16"
-    else:
-        gen_model, voc_params, dtype_name = model, voc.params, "f32"
-    e2e = make_e2e(gen_model, bf16=use_bf16)
+    if e2e is None:
+        if use_bf16:
+            gen_model = build_generator(
+                _dc_replace(cfg.model, compute_dtype="bfloat16")
+            )
+            voc_params = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, jnp.bfloat16), voc.params
+            )
+        else:
+            gen_model, voc_params = model, voc.params
+        e2e = make_e2e(gen_model, bf16=use_bf16)
+    dtype_name = "bf16" if use_bf16 else "f32"
     log(f"compiling end-to-end program ({dtype_name})...")
     t0 = time.time()
     _, out = e2e(variables, voc_params, xj, esj, etj)
