@@ -38,8 +38,14 @@ def main(argv=None):
         help="use only the LAST N utterances per speaker (held-out set); "
         "0 = all utterances",
     )
-    ap.add_argument("--dim_cell", type=int, default=768)
-    ap.add_argument("--dim_emb", type=int, default=256)
+    ap.add_argument(
+        "--dim_cell", type=int, default=None,
+        help="override; inferred from the checkpoint by default",
+    )
+    ap.add_argument(
+        "--dim_emb", type=int, default=None,
+        help="override; inferred from the checkpoint by default",
+    )
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
     apply_platform(args)

@@ -40,14 +40,24 @@ class SpeakerEmbedder:
         self,
         params: dict,
         dim_input: int = 80,
-        dim_cell: int = 768,
-        dim_emb: int = 256,
+        dim_cell: int | None = None,
+        dim_emb: int | None = None,
         len_crop: int = 128,
         stride: int = 64,
     ):
         # accepts either a GE2ETrainer checkpoint tree ({'dvector', 'w', 'b'})
         # or bare DVector params
         self.params = params.get("dvector", params)
+        # infer cell/emb dims from the checkpoint itself (the embedding
+        # Dense kernel is (dim_cell, dim_emb)) so differently-sized
+        # encoders — e.g. an independent judge — work without flags
+        try:
+            k = self.params["embedding"]["kernel"]
+            dim_cell = dim_cell or int(k.shape[0])
+            dim_emb = dim_emb or int(k.shape[1])
+        except (KeyError, TypeError):
+            dim_cell = dim_cell or 768
+            dim_emb = dim_emb or 256
         self.model = DVector(dim_input=dim_input, dim_cell=dim_cell, dim_emb=dim_emb)
         self.len_crop = len_crop
         self.stride = stride
