@@ -111,6 +111,13 @@ class HiFiGANTrainer:
             )
             if i % log_step == 0 or i == num_iters:
                 loss = float(loss_j)
+                if not np.isfinite(loss):
+                    # halt BEFORE the caller's save() can overwrite a good
+                    # checkpoint with poisoned params (Solver's rule)
+                    raise RuntimeError(
+                        f"[hifigan] non-finite loss at iter {i}; refusing to "
+                        f"continue — resume from the last saved checkpoint"
+                    )
                 self.history.append(loss)
                 print(
                     f"[hifigan] iter {i}/{num_iters} loss {loss:.4f} "
@@ -245,6 +252,12 @@ class HiFiGANGANTrainer(HiFiGANTrainer):
             )
             if i % log_step == 0 or i == num_iters:
                 rec = {k: float(v) for k, v in m.items()}
+                if not all(np.isfinite(v) for v in rec.values()):
+                    raise RuntimeError(
+                        f"[hifigan-gan] non-finite metric at iter {i} "
+                        f"({rec}); refusing to continue — resume from the "
+                        f"last saved checkpoint"
+                    )
                 self.gan_history.append(rec)
                 print(
                     f"[hifigan-gan] iter {i}/{num_iters} "

@@ -127,6 +127,14 @@ class WaveNetTrainer:
             )
             if i % log_step == 0 or i == num_iters:
                 loss = float(loss_j)
+                if not np.isfinite(loss):
+                    # halt BEFORE the caller's save() can overwrite a good
+                    # checkpoint with poisoned params (same rule as the
+                    # Solver's non-finite sentinel, train/solver.py)
+                    raise RuntimeError(
+                        f"[wavenet] non-finite nll at iter {i}; refusing to "
+                        f"continue — resume from the last saved checkpoint"
+                    )
                 self.history.append(loss)
                 print(
                     f"[wavenet] iter {i}/{num_iters} nll {loss:.4f} "

@@ -393,3 +393,21 @@ def test_pallas_generation_matches_scan(tiny_params):
     w_pallas = np.asarray(voc.generate(mel, key=key, engine="pallas"))
     assert w_scan.shape == w_pallas.shape == (2, 4 * 256)
     np.testing.assert_allclose(w_pallas, w_scan, atol=2e-4)
+
+
+def test_wavenet_trainer_nonfinite_sentinel():
+    """A non-finite NLL halts training with an error BEFORE the CLI's
+    save_every loop can overwrite a good checkpoint with poisoned params
+    (the Solver's rule, applied to the vocoder trainers)."""
+    from autovc_tpu.vocoder.train_wavenet import WaveNetTrainer
+
+    t = WaveNetTrainer(TINY, seed=0)
+
+    def batches():
+        while True:
+            x = np.full((1, 256, 1), np.nan, np.float32)
+            c = np.zeros((1, 1, 80), np.float32)
+            yield x, c
+
+    with pytest.raises(RuntimeError, match="non-finite"):
+        t.train(batches(), num_iters=1, log_step=1)
