@@ -44,10 +44,19 @@ def main(argv=None):
     ap.add_argument("--model_type", default="spmel", choices=["spmel", "stft"])
     ap.add_argument("--through", default="mel", choices=["mel", "audio"])
     ap.add_argument(
-        "--vocoder", default="hifigan", choices=["griffinlim", "hifigan", "hybrid"]
+        "--vocoder",
+        default="hifigan",
+        choices=["griffinlim", "hifigan", "hybrid", "wavenet"],
     )
     ap.add_argument("--vocoder_ckpt", default=None)
     ap.add_argument("--gl_iters", type=int, default=60)
+    ap.add_argument(
+        "--wavenet_engine",
+        default="pallas",
+        choices=["scan", "pallas"],
+        help="autoregressive engine for --vocoder wavenet (pallas = persistent "
+        "kernel, bf16, best per-utterance latency; scan = f32 lax.scan)",
+    )
     ap.add_argument("--utterance_index", type=int, default=0)
     ap.add_argument("--centroid_utts", type=int, default=10, help="utterances per centroid")
     ap.add_argument("--batch_size", type=int, default=8)
@@ -56,7 +65,7 @@ def main(argv=None):
     apply_platform(args)
     if (
         args.through == "audio"
-        and args.vocoder in ("hifigan", "hybrid")
+        and args.vocoder in ("hifigan", "hybrid", "wavenet")
         and not args.vocoder_ckpt
     ):
         ap.error(f"--through audio with --vocoder {args.vocoder} requires --vocoder_ckpt")
@@ -111,6 +120,16 @@ def main(argv=None):
 
                 voc = HybridVocoder(voc, cfg.audio)
             synth = voc.generate
+        elif args.vocoder == "wavenet":
+            from autovc_tpu.vocoder.wavenet import WaveNetVocoder
+
+            voc = WaveNetVocoder.from_checkpoint(cfg.wavenet, args.vocoder_ckpt)
+            engine = args.wavenet_engine
+            w_dtype = jnp.bfloat16 if engine == "pallas" else jnp.float32
+            # bucketed: the 42-pair matrix compiles a handful of AR programs
+            # instead of one per distinct utterance length
+            synth = lambda m: voc.generate_bucketed(m, dtype=w_dtype, engine=engine)
+
         else:
             from autovc_tpu.vocoder.griffinlim import mel_to_waveform
 

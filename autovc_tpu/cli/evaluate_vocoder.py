@@ -60,6 +60,23 @@ def main(argv=None):
         help="GL refinement iterations for --vocoder hybrid",
     )
     ap.add_argument("--max_utts", type=int, default=0, help="0 = all")
+    ap.add_argument(
+        "--wavenet_engine",
+        default="scan",
+        choices=["scan", "pallas"],
+        help="autoregressive engine for --vocoder wavenet (scan = f32 "
+        "lax.scan; pallas = persistent kernel, bf16, lowest latency)",
+    )
+    ap.add_argument(
+        "--wavenet_bucket",
+        type=int,
+        default=64,
+        help="pad mel length (edge-replication) to a multiple of this many "
+        "frames before WaveNet synthesis and trim the waveform back, so N "
+        "utterances compile a handful of AR programs instead of N (0 = off; "
+        "the AR core is causal, so trimming is faithful up to the "
+        "conditioning upsampler's ~2-frame receptive field at the tail)",
+    )
     ap.add_argument("--out", default=None, help="also append the JSON line here")
     args = ap.parse_args(argv)
     apply_platform(args)
@@ -109,9 +126,18 @@ def main(argv=None):
         from autovc_tpu.vocoder.wavenet import WaveNetVocoder
 
         voc = WaveNetVocoder.from_checkpoint(cfg.wavenet, args.vocoder_ckpt)
+        w_dtype = jnp.bfloat16 if args.wavenet_engine == "pallas" else jnp.float32
 
         def synth_all(feats):
-            return [np.asarray(voc.generate(m)) for m in feats]
+            return [
+                voc.generate_bucketed(
+                    m,
+                    bucket=args.wavenet_bucket,
+                    dtype=w_dtype,
+                    engine=args.wavenet_engine,
+                )
+                for m in feats
+            ]
 
     from autovc_tpu.eval.fidelity import mel_fidelity_report
 

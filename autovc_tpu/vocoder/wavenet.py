@@ -412,6 +412,36 @@ class WaveNetVocoder:
             wav, _ = _generate_scan(self.params, self.cfg, cond, key, length, dtype=dtype)
         return wav[0] if squeeze else wav
 
+    def generate_bucketed(
+        self,
+        mel: np.ndarray,
+        bucket: int = 64,
+        key: jax.Array | None = None,
+        dtype=jnp.float32,
+        engine: str = "scan",
+    ) -> np.ndarray:
+        """generate() with the mel length padded (edge-replication) to a
+        multiple of `bucket` frames and the waveform trimmed back to the true
+        length, so a corpus of N distinct utterance lengths compiles
+        ceil(maxlen/bucket) AR programs instead of N.
+
+        Faithfulness: the AR sample stream is causal, so generated samples in
+        the kept region are influenced by the pad only through the
+        conditioning upsampler's receptive field (~2 mel frames at the tail);
+        edge-replication keeps that boundary conditioning natural. bucket=0
+        disables padding (identical to generate())."""
+        mel = np.asarray(mel)
+        assert mel.ndim == 2, "generate_bucketed takes a single (T, C) mel"
+        t = mel.shape[0]
+        pad = (-t) % bucket if bucket else 0
+        if pad:
+            mel = np.pad(mel, ((0, pad), (0, 0)), mode="edge")
+        wav = np.asarray(
+            self.generate(jnp.asarray(mel), key=key, dtype=dtype, engine=engine),
+            np.float32,
+        )
+        return wav[: t * self.cfg.hop_size]
+
     def logits(self, x: jax.Array, mel: jax.Array) -> jax.Array:
         return apply(self.params, self.cfg, x, mel)
 

@@ -411,3 +411,24 @@ def test_wavenet_trainer_nonfinite_sentinel():
 
     with pytest.raises(RuntimeError, match="non-finite"):
         t.train(batches(), num_iters=1, log_step=1)
+
+
+def test_generate_bucketed_trims_and_matches_prefix(tiny_params):
+    """generate_bucketed pads mel to a bucket multiple and trims the
+    waveform to the true length. The AR core is causal, so the kept region
+    matches the unbucketed generation everywhere except the tail samples
+    whose CONDITIONING windows overlap the pad (the upsampler's receptive
+    field, ~2 mel frames)."""
+    voc = WaveNetVocoder(TINY, tiny_params)
+    mel = np.random.default_rng(3).random((5, 80)).astype(np.float32)
+    hop = TINY.hop_size
+
+    w_plain = np.asarray(voc.generate(jnp.asarray(mel)))
+    w_buck = voc.generate_bucketed(mel, bucket=8)
+    assert w_buck.shape == (5 * hop,)
+    # all but the last 2 frames of samples are bit-equal to the unbucketed run
+    keep = (5 - 2) * hop
+    np.testing.assert_allclose(w_buck[:keep], w_plain[:keep], atol=1e-6)
+    # bucket=0 disables padding entirely
+    w_off = voc.generate_bucketed(mel, bucket=0)
+    np.testing.assert_allclose(w_off, w_plain, atol=0)
