@@ -4,7 +4,8 @@ Loads a trained checkpoint + metadata.pkl, runs every conversion, writes
 results_<run>.pkl ([(id, mel)], the vocoder input contract) and optional
 before/after spectrogram PDFs.
 
-Usage: python -m autovc_tpu.cli.convert --main_dir DIR --run_dir RUNDIR
+Usage: python -m autovc_tpu.cli.convert --main_dir DIR
+           (--run_dir RUNDIR | --artifact FILE.npz)
            [--model_type spmel|stft] [--use_ema] [--pdf]
 """
 
@@ -79,7 +80,14 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     add_platform_arg(ap)
     ap.add_argument("--main_dir", required=True)
-    ap.add_argument("--run_dir", required=True)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--run_dir", default=None, help="orbax training run dir")
+    src.add_argument(
+        "--artifact",
+        default=None,
+        help="flat .npz artifact (cli.export_ckpt output, e.g. the shipped "
+        "artifacts/generator_spmel_*.npz) instead of an orbax run dir",
+    )
     ap.add_argument("--model_type", default="spmel", choices=["spmel", "stft", "wav"])
     ap.add_argument(
         "--pallas", action="store_true",
@@ -110,9 +118,17 @@ def main(argv=None):
     args = ap.parse_args(argv)
     apply_platform(args)
 
-    restored, step = load_solver_checkpoint(args.run_dir)
-    params = restored["ema_params" if args.use_ema else "params"]
-    stats = restored["batch_stats"]
+    if args.artifact:
+        from autovc_tpu.cli.export_ckpt import load_artifact
+
+        variables, step = load_artifact(args.artifact)
+        params, stats = variables["params"], variables["batch_stats"]
+        if args.use_ema:
+            print("[convert] note: artifacts carry one weight set; --use_ema ignored")
+    else:
+        restored, step = load_solver_checkpoint(args.run_dir)
+        params = restored["ema_params" if args.use_ema else "params"]
+        stats = restored["batch_stats"]
 
     cfg = Config(
         model=ModelConfig(
