@@ -172,6 +172,7 @@ def main(argv=None):
     summary.update(
         {
             "through": args.through,
+            "vocoder": args.vocoder if args.through == "audio" else None,
             "generator_step": step,
             "identity_recon_l1_mean": float(np.mean(recon_l1)) if recon_l1 else None,
         }
