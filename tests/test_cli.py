@@ -72,6 +72,22 @@ def test_train_convert_synthesize_evaluate_cli(tiny_corpus, capsys):
     results = [f for f in os.listdir(os.path.join(tiny_corpus, "spmel")) if f.startswith("results_")]
     assert results
 
+    # the shipped-artifact path: export .npz, convert from it, same outputs
+    from autovc_tpu.cli.export_ckpt import main as export_main
+    from autovc_tpu.data.manifest import load_results
+
+    art = os.path.join(tiny_corpus, "gen.npz")
+    export_main(["--platform", "cpu", "--run_dir", run_dir, "--out", art])
+    art_out = os.path.join(tiny_corpus, "spmel", "results_artifact.pkl")
+    convert_main(
+        ["--platform", "cpu", "--main_dir", tiny_corpus, "--artifact", art, "--out", art_out]
+    )
+    a = load_results(os.path.join(tiny_corpus, "spmel", results[0]))
+    b = load_results(art_out)
+    np.testing.assert_allclose(
+        np.asarray(a[0][1]), np.asarray(b[0][1]), atol=1e-5
+    )
+
     out_dir = os.path.join(tiny_corpus, "out")
     synthesize_main(
         [
