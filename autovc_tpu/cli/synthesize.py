@@ -37,6 +37,14 @@ def main(argv=None):
         help="bfloat16 WaveNet generation (halves HBM weight streaming)",
     )
     ap.add_argument(
+        "--wavenet_engine",
+        default="scan",
+        choices=["scan", "pallas"],
+        help="WaveNet engine: scan (lax.scan fast-generation, best at large "
+        "--batch) or pallas (persistent kernel, implies bf16; best "
+        "per-utterance latency — 2.07x realtime per stream at batch 1)",
+    )
+    ap.add_argument(
         "--batch", type=int, default=1,
         help="synthesize N conversions per device call (neural vocoders; "
         "WaveNet gains ~90x throughput from batching, measured 6.5k -> 607k "
@@ -65,8 +73,15 @@ def main(argv=None):
         from autovc_tpu.vocoder.wavenet import WaveNetVocoder
 
         voc = WaveNetVocoder.from_checkpoint(cfg.wavenet, args.vocoder_ckpt)
-        dt = jnp.bfloat16 if args.bf16 else jnp.float32
-        synth = lambda mel: voc.generate(mel, dtype=dt)
+        dt = jnp.bfloat16 if (args.bf16 or args.wavenet_engine == "pallas") else jnp.float32
+        if args.batch > 1:
+            synth = lambda mel: voc.generate(mel, dtype=dt, engine=args.wavenet_engine)
+        else:
+            # single-utterance path: bucket lengths so N utterances compile a
+            # handful of AR programs instead of N (causal core -> exact trim)
+            synth = lambda mel: voc.generate_bucketed(
+                mel, dtype=dt, engine=args.wavenet_engine
+            )
     else:
         from autovc_tpu.vocoder.hifigan import HiFiGANVocoder
 
