@@ -1,14 +1,15 @@
-"""Export an AOT serving bundle (serialized StableHLO conversion program).
+"""Export an AOT serving bundle (serialized StableHLO programs).
 
 Replaces the reference's deploy-by-rerunning-scripts workflow
-(conversion.py + vocoder.py) with a self-describing artifact: one
-shape-polymorphic program (any batch, any multiple-of-freq length),
-lowered for cpu+tpu, plus the weights and a manifest. Load with
-autovc_tpu.serve.ServingConverter — no flax or model code needed at
-serving time.
+(conversion.py + vocoder.py) with a self-describing artifact: a
+shape-polymorphic conversion program (any batch, any multiple-of-freq
+length), an optional vocoder program, weights, and a manifest, lowered
+for cpu+tpu. Load with autovc_tpu.serve.ServingConverter — no flax or
+model code needed at serving time.
 
 Usage: python -m autovc_tpu.cli.export_serving --artifact gen.npz --out DIR
-           [--hifigan hifigan.npz] [--platforms cpu,tpu] [--model_type spmel]
+           [--hifigan hifigan.npz] [--platforms cpu,tpu]
+           [--model_type spmel|stft] [--compute_dtype float32|bfloat16]
 """
 
 from __future__ import annotations
@@ -26,30 +27,33 @@ def main(argv=None):
     ap.add_argument(
         "--hifigan",
         default=None,
-        help="HiFi-GAN .npz — fuse waveform synthesis into the served program",
+        help="HiFi-GAN .npz or torch .pt — add the waveform-synthesis program",
     )
     ap.add_argument("--platforms", default="cpu,tpu")
     ap.add_argument("--model_type", default="spmel", choices=["spmel", "stft"])
+    ap.add_argument(
+        "--compute_dtype",
+        default="float32",
+        choices=["float32", "bfloat16"],
+        help="matmul/conv compute precision of the exported program — "
+        "bfloat16 is the benchmarked production configuration",
+    )
     args = ap.parse_args(argv)
     apply_platform(args)
-
-    import numpy as np
 
     from autovc_tpu.cli.export_ckpt import load_artifact
     from autovc_tpu.config import Config, ModelConfig
     from autovc_tpu.serve import export_converter
-    from autovc_tpu.vocoder.wavenet import unflatten_params
 
-    cfg = Config(model=ModelConfig(model_type=args.model_type))
+    cfg = Config(
+        model=ModelConfig(model_type=args.model_type, compute_dtype=args.compute_dtype)
+    )
     variables, step = load_artifact(args.artifact)
     hparams = None
     if args.hifigan:
-        hparams = unflatten_params(
-            {
-                k: v.astype(np.float32) if v.dtype == np.float16 else v
-                for k, v in dict(np.load(args.hifigan)).items()
-            }
-        )
+        from autovc_tpu.vocoder.hifigan import HiFiGANVocoder
+
+        hparams = HiFiGANVocoder.from_checkpoint(cfg.hifigan, args.hifigan).params
     out = export_converter(
         variables,
         cfg,
@@ -58,7 +62,8 @@ def main(argv=None):
         platforms=tuple(p.strip() for p in args.platforms.split(",") if p.strip()),
     )
     print(f"[export_serving] wrote {out} (generator step {step}, "
-          f"vocoder={'fused' if hparams is not None else 'none'})")
+          f"compute {args.compute_dtype}, "
+          f"vocoder={'bundled' if hparams is not None else 'none'})")
 
 
 if __name__ == "__main__":

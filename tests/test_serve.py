@@ -1,10 +1,12 @@
 """AOT serving bundle: export -> deserialize -> call parity.
 
-The exported program is shape-polymorphic (b, 32*t, n_bins); these tests
-verify (a) the serialized artifact reproduces the live model bit-exactly,
-(b) one artifact serves multiple batch sizes and lengths, (c) the
-pad/strip convention matches the Converter's reference-faithful padding,
-and (d) the vocoder-fused bundle returns hop_size-scaled waveforms.
+The exported conversion program is shape-polymorphic (b, 32*t, n_bins);
+these tests verify (a) the serialized artifacts reproduce the live pipeline
+bit-exactly on real corpus utterances, (b) one artifact serves multiple
+batch sizes and lengths, (c) the pad/strip convention matches the
+Converter's reference-faithful padding, and (d) the vocoder program in a
+fused bundle matches HiFiGANVocoder.generate on the pad-stripped features
+(the live pipeline's staging).
 """
 
 from __future__ import annotations
@@ -16,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from autovc_tpu.config import Config, HiFiGANConfig, ModelConfig
+from autovc_tpu.convert import ConversionSpec, Converter, pad_seq
 from autovc_tpu.models import build_generator
 from autovc_tpu.serve import ServingConverter, export_converter
 
@@ -30,25 +33,33 @@ def generator_setup():
     return cfg, model, dict(variables)
 
 
-def test_export_roundtrip_parity(tmp_path, generator_setup):
+@pytest.fixture(scope="module")
+def bundle(tmp_path_factory, generator_setup):
     cfg, model, variables = generator_setup
-    bundle = export_converter(variables, cfg, str(tmp_path / "bundle"), platforms=("cpu",))
+    out = str(tmp_path_factory.mktemp("serve") / "bundle")
+    return export_converter(variables, cfg, out, platforms=("cpu",))
+
+
+def test_real_utterance_parity_vs_live_pipeline(bundle, generator_setup, reference_dir):
+    """Serving output == Converter.convert on a real corpus utterance."""
+    cfg, model, variables = generator_setup
     srv = ServingConverter(bundle)
 
+    feats = np.load(reference_dir + "/spmel/p225/p225_003.npy")
     rng = np.random.RandomState(1)
-    x = rng.rand(2, 96, 80).astype(np.float32)
-    eo = rng.rand(2, 256).astype(np.float32)
-    et = rng.rand(2, 256).astype(np.float32)
+    eo = rng.rand(256).astype(np.float32)
+    et = rng.rand(256).astype(np.float32)
 
-    got = np.asarray(srv(x, eo, et))
-    _, want, _ = model.apply(variables, jnp.asarray(x), jnp.asarray(eo),
-                             jnp.asarray(et), train=False)
+    got = srv.convert(feats, eo, et)
+
+    conv = Converter(model, variables["params"], variables.get("batch_stats", {}), cfg)
+    spec = ConversionSpec(0, "p225_003", eo, feats, "p228", et)
+    want = conv.convert(spec)
+    assert got.shape == want.shape == feats.shape
     np.testing.assert_allclose(got, np.asarray(want), rtol=0, atol=1e-6)
 
 
-def test_polymorphic_shapes_one_artifact(tmp_path, generator_setup):
-    cfg, model, variables = generator_setup
-    bundle = export_converter(variables, cfg, str(tmp_path / "bundle"), platforms=("cpu",))
+def test_polymorphic_shapes_one_artifact(bundle):
     srv = ServingConverter(bundle)
     for b, t in [(1, 32), (3, 160), (2, 512)]:
         out = np.asarray(srv(np.zeros((b, t, 80), np.float32),
@@ -58,40 +69,34 @@ def test_polymorphic_shapes_one_artifact(tmp_path, generator_setup):
         assert np.isfinite(out).all()
 
 
-def test_non_multiple_of_freq_rejected(tmp_path, generator_setup):
-    cfg, model, variables = generator_setup
-    bundle = export_converter(variables, cfg, str(tmp_path / "bundle"), platforms=("cpu",))
+def test_non_multiple_of_freq_rejected(bundle):
     srv = ServingConverter(bundle)
-    with pytest.raises(Exception):
+    # the 32*t symbolic constraint is the error, not an incidental failure
+    with pytest.raises(ValueError, match="remainder"):
         srv(np.zeros((1, 100, 80), np.float32),
             np.zeros((1, 256), np.float32), np.zeros((1, 256), np.float32))
 
 
-def test_convert_pads_and_strips_like_reference(tmp_path, generator_setup):
-    cfg, model, variables = generator_setup
-    bundle = export_converter(variables, cfg, str(tmp_path / "bundle"), platforms=("cpu",))
-    srv = ServingConverter(bundle)
-    feats = np.random.RandomState(2).rand(100, 80).astype(np.float32)
-    emb = np.zeros((256,), np.float32)
-    out = srv.convert(feats, emb, emb)
-    assert out.shape == feats.shape
-    assert np.isfinite(out).all()
-
-
 @pytest.mark.slow
-def test_vocoder_fused_bundle(tmp_path, generator_setup):
+def test_vocoder_fused_bundle_matches_live_staging(tmp_path, generator_setup):
+    """Fused bundle == Converter.convert (strip pad) + HiFiGANVocoder.generate."""
     cfg, model, variables = generator_setup
-    hcfg = HiFiGANConfig()
     from autovc_tpu.vocoder.hifigan import HiFiGANVocoder
 
-    voc = HiFiGANVocoder(hcfg)  # random init is fine: shapes drive the test
+    voc = HiFiGANVocoder(HiFiGANConfig())  # random init: staging drives the test
     bundle = export_converter(
         variables, cfg, str(tmp_path / "bundle_voc"),
         hifigan_params=dict(voc.params), platforms=("cpu",),
     )
     srv = ServingConverter(bundle)
-    feats = np.random.RandomState(3).rand(50, 80).astype(np.float32)
+
+    # T=100 is NOT a freq multiple: exercises the strip-before-vocode staging
+    feats = np.random.RandomState(3).rand(100, 80).astype(np.float32)
     emb = np.zeros((256,), np.float32)
     wav = srv.convert(feats, emb, emb)
-    assert wav.shape == (50 * cfg.audio.hop_length,)
-    assert np.isfinite(wav).all()
+    assert wav.shape == (100 * cfg.audio.hop_length,)
+
+    conv = Converter(model, variables["params"], variables.get("batch_stats", {}), cfg)
+    mel = conv.convert(ConversionSpec(0, "t", emb, feats, "t", emb))
+    want = np.asarray(voc.generate(np.asarray(mel)))
+    np.testing.assert_allclose(wav, want, rtol=0, atol=1e-5)
