@@ -100,3 +100,49 @@ def test_vocoder_fused_bundle_matches_live_staging(tmp_path, generator_setup):
     mel = conv.convert(ConversionSpec(0, "t", emb, feats, "t", emb))
     want = np.asarray(voc.generate(np.asarray(mel)))
     np.testing.assert_allclose(wav, want, rtol=0, atol=1e-5)
+
+
+def test_http_server_roundtrip(bundle, generator_setup, reference_dir):
+    """cli.serve handler: npz request -> npy converted features, errors -> 400."""
+    import io
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from autovc_tpu.cli.serve import make_handler
+
+    cfg, model, variables = generator_setup
+    srv = ServingConverter(bundle)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv, threading.Lock()))
+    port = httpd.server_address[1]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        assert urllib.request.urlopen(base + "/healthz").read() == b"ok"
+        import json as _json
+
+        manifest = _json.loads(urllib.request.urlopen(base + "/manifest").read())
+        assert manifest["n_bins"] == 80 and manifest["with_vocoder"] is False
+
+        feats = np.load(reference_dir + "/spmel/p225/p225_003.npy")
+        emb = np.zeros((256,), np.float32)
+        buf = io.BytesIO()
+        np.savez(buf, features=feats, emb_org=emb, emb_trg=emb)
+        resp = urllib.request.urlopen(base + "/convert", data=buf.getvalue())
+        out = np.load(io.BytesIO(resp.read()))
+        want = srv.convert(feats, emb, emb)
+        np.testing.assert_allclose(out, want, rtol=0, atol=0)
+
+        # malformed request -> 400 with a reason, server stays up
+        bad = io.BytesIO()
+        np.savez(bad, features=np.zeros((4, 3), np.float32), emb_org=emb, emb_trg=emb)
+        try:
+            urllib.request.urlopen(base + "/convert", data=bad.getvalue())
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and b"features must be" in e.read()
+        assert urllib.request.urlopen(base + "/healthz").read() == b"ok"
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
