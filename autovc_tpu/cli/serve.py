@@ -26,8 +26,20 @@ Requests are serialized through one device; each distinct padded length
 XLA-specializes once and is cached by the runtime thereafter (pair with
 --warmup to pre-specialize the common buckets before serving traffic).
 
+With --batch_window MS concurrent requests are micro-batched: requests
+arriving within the window are zero-padded to a shared compile bucket
+(convert.bucket_length — the Converter's opt-in use_buckets semantics)
+and answered by ONE batched program call. Batching never changes a
+request's result versus a solo call at the same bucket padding (the
+batch axis is data-parallel through the whole Generator); it buys the
+batched-throughput regime the headline bench measures (B=32 is ~10x the
+per-utterance rate of B=1 on a v5e chip) at up to one window of added
+latency. Bucketing itself trades exact reference-faithful pad-to-freq
+for a bounded compile count, exactly like Converter(use_buckets=True).
+
 Usage: python -m autovc_tpu.cli.serve --bundle DIR [--port 8765]
-           [--warmup 256,512] [--platform cpu|tpu]
+           [--warmup 256,512] [--batch_window 5 --max_batch 16]
+           [--platform cpu|tpu]
 """
 
 from __future__ import annotations
@@ -35,12 +47,124 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import queue
 import threading
+import time
 
 
-def make_handler(srv, lock):
+class _Item:
+    __slots__ = ("feats", "emb_org", "emb_trg", "done", "result", "error")
+
+    def __init__(self, feats, emb_org, emb_trg):
+        self.feats, self.emb_org, self.emb_trg = feats, emb_org, emb_trg
+        self.done = threading.Event()
+        self.result = None
+        self.error: Exception | None = None
+
+
+_STOP = object()
+
+
+class MicroBatcher:
+    """Groups concurrent conversion requests into batched program calls.
+
+    A single dispatcher thread owns the device: it takes the first pending
+    request, waits up to ``window_s`` for companions (at most ``max_batch``
+    per call), groups them by bucketed padded length, and runs one
+    converter call per group. Per-item padding is stripped from each row, so
+    a batched row equals the same request run solo at the same bucket
+    padding (tests/test_serve.py pins this). For with_vocoder bundles the
+    vocoder runs per item on the exact stripped length — vocoding padded
+    mels would contaminate the tail receptive field (see
+    autovc_tpu/serve.py staging notes).
+    """
+
+    def __init__(self, srv, window_s: float = 0.005, max_batch: int = 16,
+                 bucket: int = 256):
+        from autovc_tpu.convert import bucket_length
+
+        self._bucket_length = bucket_length
+        self.srv = srv
+        self.window_s = window_s
+        self.max_batch = max_batch
+        self.bucket = bucket
+        self.batch_sizes: list[int] = []  # observability: per-call b
+        self._q: queue.Queue = queue.Queue()
+        self._thread = threading.Thread(
+            target=self._loop, name="serve-batcher", daemon=True
+        )
+        self._thread.start()
+
+    def convert(self, feats, emb_org, emb_trg):
+        """Blocking request entry point (called from handler threads)."""
+        item = _Item(feats, emb_org, emb_trg)
+        self._q.put(item)
+        item.done.wait()
+        if item.error is not None:
+            raise item.error
+        return item.result
+
+    def close(self):
+        self._q.put(_STOP)
+        self._thread.join(timeout=30.0)
+
+    def _loop(self):
+        while True:
+            first = self._q.get()
+            if first is _STOP:
+                return
+            batch = [first]
+            deadline = time.monotonic() + self.window_s
+            while len(batch) < self.max_batch:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if nxt is _STOP:
+                    self._run(batch)
+                    return
+                batch.append(nxt)
+            self._run(batch)
+
+    def _run(self, batch):
+        import numpy as np
+
+        freq = self.srv.manifest["freq"]
+        groups: dict[int, list[_Item]] = {}
+        for it in batch:
+            tb = self._bucket_length(it.feats.shape[0], freq, self.bucket)
+            groups.setdefault(tb, []).append(it)
+        for tb, items in groups.items():
+            try:
+                x = np.stack(
+                    [np.pad(it.feats, ((0, tb - it.feats.shape[0]), (0, 0)))
+                     for it in items]
+                )
+                eo = np.stack([it.emb_org for it in items])
+                et = np.stack([it.emb_trg for it in items])
+                out = np.asarray(self.srv(x, eo, et))
+                self.batch_sizes.append(len(items))
+                for row, it in zip(out, items):
+                    res = row[: it.feats.shape[0]]
+                    if self.srv.exported_voc is not None:
+                        res = np.asarray(self.srv.vocode(res[None])[0])
+                    it.result = res
+                    it.done.set()
+            except Exception as exc:  # fail the whole group, keep serving
+                for it in items:
+                    if not it.done.is_set():
+                        it.error = exc
+                        it.done.set()
+
+
+def make_handler(srv, lock, batcher: MicroBatcher | None = None):
     """HTTP handler bound to a loaded ServingConverter (kept importable and
-    server-free for tests)."""
+    server-free for tests). With a batcher, /convert requests go through it
+    (the dispatcher thread serializes device access); otherwise each request
+    converts solo under the lock."""
     from http.server import BaseHTTPRequestHandler
 
     class Handler(BaseHTTPRequestHandler):
@@ -78,8 +202,11 @@ def make_handler(srv, lock):
                         f"features must be (T, {srv.manifest['n_bins']}), "
                         f"got {feats.shape}"
                     )
-                with lock:  # one device; serialize calls
-                    out = srv.convert(feats, eo, et)
+                if batcher is not None:
+                    out = batcher.convert(feats, eo, et)
+                else:
+                    with lock:  # one device; serialize calls
+                        out = srv.convert(feats, eo, et)
             except Exception as exc:  # malformed request -> 400, not a crash
                 self._send(400, f"{type(exc).__name__}: {exc}".encode(), "text/plain")
                 return
@@ -106,6 +233,21 @@ def main(argv=None):
         default="",
         help="comma-separated frame counts to pre-specialize (e.g. 256,512)",
     )
+    ap.add_argument(
+        "--batch_window",
+        type=float,
+        default=0.0,
+        help="micro-batching window in ms (0 = off): concurrent requests "
+        "within the window share one batched, bucket-padded program call",
+    )
+    ap.add_argument(
+        "--max_batch", type=int, default=16,
+        help="micro-batching: max requests per program call",
+    )
+    ap.add_argument(
+        "--bucket", type=int, default=256,
+        help="micro-batching: frame-count compile bucket (multiple of freq)",
+    )
     args = ap.parse_args(argv)
     apply_platform(args)
 
@@ -122,13 +264,24 @@ def main(argv=None):
             srv.convert(np.zeros((t, srv.manifest["n_bins"]), np.float32), emb, emb)
             print(f"[serve] warmed T={t}")
 
-    httpd = ThreadingHTTPServer((args.host, args.port), make_handler(srv, threading.Lock()))
+    batcher = None
+    if args.batch_window > 0:
+        batcher = MicroBatcher(
+            srv, window_s=args.batch_window / 1e3,
+            max_batch=args.max_batch, bucket=args.bucket,
+        )
+    httpd = ThreadingHTTPServer(
+        (args.host, args.port), make_handler(srv, threading.Lock(), batcher)
+    )
     print(f"[serve] listening on http://{args.host}:{args.port} "
-          f"(bundle: {args.bundle}, vocoder: {srv.manifest['with_vocoder']})")
+          f"(bundle: {args.bundle}, vocoder: {srv.manifest['with_vocoder']}, "
+          f"batching: {args.batch_window} ms x {args.max_batch})")
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
         print("[serve] shutting down")
+        if batcher is not None:
+            batcher.close()
         httpd.server_close()
 
 

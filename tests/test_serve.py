@@ -102,6 +102,119 @@ def test_vocoder_fused_bundle_matches_live_staging(tmp_path, generator_setup):
     np.testing.assert_allclose(wav, want, rtol=0, atol=1e-5)
 
 
+def test_microbatcher_matches_solo_bucketed_calls(bundle):
+    """A batched row == the same request run solo at the same bucket padding,
+    for mixed lengths landing in different buckets."""
+    import threading
+
+    from autovc_tpu.cli.serve import MicroBatcher
+    from autovc_tpu.convert import bucket_length
+
+    srv = ServingConverter(bundle)
+    # generous window: the 1-core CI host schedules threads slowly
+    batcher = MicroBatcher(srv, window_s=1.0, max_batch=8, bucket=128)
+    try:
+        rng = np.random.RandomState(7)
+        reqs = [
+            (rng.rand(t, 80).astype(np.float32),
+             rng.rand(256).astype(np.float32),
+             rng.rand(256).astype(np.float32))
+            for t in (100, 128, 97, 300)
+        ]
+        results = [None] * len(reqs)
+        threads = [
+            threading.Thread(
+                target=lambda i=i, r=r: results.__setitem__(
+                    i, batcher.convert(*r)
+                )
+            )
+            for i, r in enumerate(reqs)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=120)
+        # the window batched the concurrent requests (grouped by bucket)
+        assert max(batcher.batch_sizes) >= 2
+
+        for (feats, eo, et), got in zip(reqs, results):
+            tb = bucket_length(feats.shape[0], srv.manifest["freq"], 128)
+            x = np.pad(feats, ((0, tb - feats.shape[0]), (0, 0)))
+            want = np.asarray(srv(x[None], eo[None], et[None]))[0, : feats.shape[0]]
+            assert got.shape == feats.shape
+            np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+    finally:
+        batcher.close()
+
+
+def test_microbatcher_error_isolated_to_group(bundle):
+    """A failing group fails its requests with the error; the dispatcher
+    keeps serving later requests."""
+    from autovc_tpu.cli.serve import MicroBatcher
+
+    srv = ServingConverter(bundle)
+    batcher = MicroBatcher(srv, window_s=0.0, max_batch=4, bucket=128)
+    try:
+        bad = np.zeros((64, 80), np.float32)
+        with pytest.raises(Exception):
+            # wrong embedding rank -> stack/call fails inside the group
+            batcher.convert(bad, np.zeros((2, 256), np.float32),
+                            np.zeros((256,), np.float32))
+        ok = batcher.convert(bad, np.zeros((256,), np.float32),
+                             np.zeros((256,), np.float32))
+        assert ok.shape == (64, 80)
+    finally:
+        batcher.close()
+
+
+def test_http_server_batched_roundtrip(bundle, reference_dir):
+    """Concurrent HTTP /convert requests through a MicroBatcher come back
+    correct per request."""
+    import io
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from autovc_tpu.cli.serve import MicroBatcher, make_handler
+
+    srv = ServingConverter(bundle)
+    batcher = MicroBatcher(srv, window_s=0.1, max_batch=8, bucket=128)
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(srv, threading.Lock(), batcher)
+    )
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        rng = np.random.RandomState(11)
+        reqs = [(rng.rand(t, 80).astype(np.float32),
+                 rng.rand(256).astype(np.float32),
+                 rng.rand(256).astype(np.float32)) for t in (90, 90, 200)]
+        outs = [None] * len(reqs)
+
+        def post(i):
+            feats, eo, et = reqs[i]
+            buf = io.BytesIO()
+            np.savez(buf, features=feats, emb_org=eo, emb_trg=et)
+            resp = urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/convert", data=buf.getvalue()
+            )
+            outs[i] = np.load(io.BytesIO(resp.read()))
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(len(reqs))]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=120)
+        for (feats, eo, et), got in zip(reqs, outs):
+            want = batcher.convert(feats, eo, et)
+            assert got.shape == feats.shape
+            np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        batcher.close()
+
+
 def test_http_server_roundtrip(bundle, generator_setup, reference_dir):
     """cli.serve handler: npz request -> npy converted features, errors -> 400."""
     import io
