@@ -182,6 +182,16 @@ def make_handler(srv, lock, batcher: MicroBatcher | None = None):
                 self._send(
                     200, json.dumps(srv.manifest).encode(), "application/json"
                 )
+            elif self.path == "/stats":
+                bs = list(batcher.batch_sizes) if batcher is not None else []
+                stats = {
+                    "batching": batcher is not None,
+                    "program_calls": len(bs),
+                    "requests": int(sum(bs)),
+                    "mean_batch": (sum(bs) / len(bs)) if bs else None,
+                    "max_batch": max(bs) if bs else None,
+                }
+                self._send(200, json.dumps(stats).encode(), "application/json")
             else:
                 self._send(404, b"not found", "text/plain")
 
