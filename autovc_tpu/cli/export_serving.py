@@ -8,7 +8,8 @@ for cpu+tpu. Load with autovc_tpu.serve.ServingConverter — no flax or
 model code needed at serving time.
 
 Usage: python -m autovc_tpu.cli.export_serving --artifact gen.npz --out DIR
-           [--hifigan hifigan.npz] [--platforms cpu,tpu]
+           [--hifigan hifigan.npz] [--vocoder_mode hifigan|hybrid]
+           [--gl_iters 2] [--platforms cpu,tpu]
            [--model_type spmel|stft] [--compute_dtype float32|bfloat16]
 """
 
@@ -28,6 +29,18 @@ def main(argv=None):
         "--hifigan",
         default=None,
         help="HiFi-GAN .npz or torch .pt — add the waveform-synthesis program",
+    )
+    ap.add_argument(
+        "--vocoder_mode",
+        default="hifigan",
+        choices=["hifigan", "hybrid"],
+        help="hybrid bakes Griffin-Lim magnitude projection seeded by the "
+        "neural phase into the vocoder program (vocoder/hybrid.py) — the "
+        "best measured audio path on converted mels",
+    )
+    ap.add_argument(
+        "--gl_iters", type=int, default=2,
+        help="hybrid mode: Griffin-Lim refinement iterations",
     )
     ap.add_argument("--platforms", default="cpu,tpu")
     ap.add_argument("--model_type", default="spmel", choices=["spmel", "stft"])
@@ -60,10 +73,15 @@ def main(argv=None):
         args.out,
         hifigan_params=hparams,
         platforms=tuple(p.strip() for p in args.platforms.split(",") if p.strip()),
+        gl_iters=args.gl_iters if args.vocoder_mode == "hybrid" else None,
     )
+    voc = "none"
+    if hparams is not None:
+        voc = args.vocoder_mode + (
+            f"(gl_iters={args.gl_iters})" if args.vocoder_mode == "hybrid" else ""
+        )
     print(f"[export_serving] wrote {out} (generator step {step}, "
-          f"compute {args.compute_dtype}, "
-          f"vocoder={'bundled' if hparams is not None else 'none'})")
+          f"compute {args.compute_dtype}, vocoder={voc})")
 
 
 if __name__ == "__main__":

@@ -42,7 +42,9 @@ def frame_signal(x: jax.Array, n_fft: int = 1024, hop: int = 256) -> jax.Array:
     pad = n_fft // 2
     x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
     t = num_frames(x.shape[-1] - 2 * pad, n_fft, hop)
-    idx = np.arange(t)[:, None] * hop + np.arange(n_fft)[None, :]
+    # jnp (not np) arange: t may be a symbolic dimension under jax.export
+    # shape polymorphism; XLA constant-folds the iota for concrete shapes.
+    idx = jnp.arange(t)[:, None] * hop + jnp.arange(n_fft)[None, :]
     return x[..., idx]
 
 

@@ -73,24 +73,36 @@ def _converter_fn(model):
     return fn
 
 
-def _vocoder_fn(vocoder_model, mel_basis, bf16: bool = False):
+def _vocoder_fn(vocoder_model, mel_basis, bf16: bool = False,
+                audio=None, gl_iters: int | None = None):
     """Served stage 2: converted features -> waveform. For the stft variant
     the mel-basis projection (conversion.py:102) is baked into the program
     as a constant so the caller never handles 513-bin features. bf16 casts
     weights and activations in-program (weights stay f32 on disk — numpy
     cannot serialize bfloat16) exactly like the headline bench's
-    configuration (bench.py:make_e2e); the waveform returns as f32."""
+    configuration (bench.py:make_e2e); the waveform returns as f32.
+
+    gl_iters (with `audio`) bakes the HYBRID refinement into the program:
+    the neural waveform's phase seeds gl_iters Griffin-Lim iterations on the
+    mel-derived magnitude (vocoder/hybrid.py) — the audio path that ties
+    Griffin-Lim on converted mels (docs/VALIDATION_r3.md) — all in the one
+    exported XLA program. The FFT stages run f32 regardless of bf16."""
 
     def fn(weights, feats):
         import jax
         import jax.numpy as jnp
 
         mel = feats if mel_basis is None else feats @ jnp.asarray(mel_basis)
+        mel_f32 = mel.astype(jnp.float32)
         params = weights["hifigan"]
         if bf16:
             params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
             mel = mel.astype(jnp.bfloat16)
-        wav = vocoder_model.apply({"params": params}, mel)
+        wav = vocoder_model.apply({"params": params}, mel).astype(jnp.float32)
+        if gl_iters is not None:
+            from autovc_tpu.vocoder.hybrid import refine_with_mel_magnitude
+
+            wav = refine_with_mel_magnitude(wav, mel_f32, audio, n_iter=gl_iters)
         return wav.astype(jnp.float32)
 
     return fn
@@ -102,13 +114,16 @@ def export_converter(
     out_dir: str,
     hifigan_params: dict | None = None,
     platforms: Sequence[str] = ("cpu", "tpu"),
+    gl_iters: int | None = None,
 ) -> str:
     """Serialize the conversion program(s) for serving; returns the bundle
     dir.
 
     variables: {'params': ..., 'batch_stats': ...} for the Generator built
     from cfg.model (cli.export_ckpt.load_artifact output). hifigan_params
-    adds the waveform-synthesis program to the bundle.
+    adds the waveform-synthesis program to the bundle; gl_iters switches it
+    to the hybrid path (HiFi-GAN phase + gl_iters Griffin-Lim projections on
+    the mel magnitude, vocoder/hybrid.py) baked into the same program.
     """
     import jax
     import jax.export
@@ -158,13 +173,19 @@ def export_converter(
             ).astype(np.float32)
         voc_weights = {"hifigan": hifigan_params}
         # the vocoder runs on pad-stripped features: its own symbolic scope,
-        # any length (no freq-multiple constraint)
-        b2, tm = jax.export.symbolic_shape("b2, tm")
+        # any length (no freq-multiple constraint). The hybrid path's STFT
+        # reflect-pads n_fft//2 samples, so the waveform (hop*tm) must
+        # provably cover it: constrain tm for symbolic lowering (4 frames =
+        # 64 ms, far below any real utterance).
+        constraints = () if gl_iters is None else ("tm >= 4",)
+        b2, tm = jax.export.symbolic_shape("b2, tm", constraints=constraints)
         f_spec = jax.ShapeDtypeStruct((b2, tm, n_bins), np.float32)
         exported_voc = jax.export.export(
             jax.jit(
                 _vocoder_fn(
-                    voc, mel_basis, bf16=cfg.model.compute_dtype == "bfloat16"
+                    voc, mel_basis,
+                    bf16=cfg.model.compute_dtype == "bfloat16",
+                    audio=cfg.audio, gl_iters=gl_iters,
                 )
             ),
             platforms=list(platforms),
@@ -184,6 +205,11 @@ def export_converter(
         "freq": freq,
         "dim_emb": dim_emb,
         "with_vocoder": hifigan_params is not None,
+        "vocoder_mode": (
+            None if hifigan_params is None
+            else ("hybrid" if gl_iters is not None else "hifigan")
+        ),
+        "gl_iters": gl_iters,
         "hop_size": cfg.audio.hop_length,
         "call": "converter.call(weights, x(b,%d*t,%d) f32, emb_org(b,%d), "
         "emb_trg(b,%d)); vocoder.call(voc_weights, feats(b,tm,%d))"

@@ -102,6 +102,36 @@ def test_vocoder_fused_bundle_matches_live_staging(tmp_path, generator_setup):
     np.testing.assert_allclose(wav, want, rtol=0, atol=1e-5)
 
 
+@pytest.mark.slow
+def test_hybrid_vocoder_bundle_matches_live_hybrid(tmp_path, generator_setup):
+    """gl_iters export == Converter + HybridVocoder staging (fusion-level
+    tolerance: one exported program vs three jit programs reorders f32
+    FFT/matmul reductions; measured ~1e-4 on real weights)."""
+    cfg, model, variables = generator_setup
+    from autovc_tpu.vocoder.hifigan import HiFiGANVocoder
+    from autovc_tpu.vocoder.hybrid import HybridVocoder
+
+    voc = HiFiGANVocoder(HiFiGANConfig())
+    bundle = export_converter(
+        variables, cfg, str(tmp_path / "bundle_hybrid"),
+        hifigan_params=dict(voc.params), platforms=("cpu",), gl_iters=2,
+    )
+    srv = ServingConverter(bundle)
+    assert srv.manifest["vocoder_mode"] == "hybrid"
+    assert srv.manifest["gl_iters"] == 2
+
+    feats = np.random.RandomState(5).rand(96, 80).astype(np.float32)
+    emb = np.zeros((256,), np.float32)
+    wav = srv.convert(feats, emb, emb)
+
+    conv = Converter(model, variables["params"], variables.get("batch_stats", {}), cfg)
+    mel = conv.convert(ConversionSpec(0, "t", emb, feats, "t", emb))
+    hyb = HybridVocoder(voc, cfg.audio, n_iter=2)
+    want = np.asarray(hyb.generate(np.asarray(mel)))
+    assert wav.shape == want.shape
+    np.testing.assert_allclose(wav, want, rtol=0, atol=5e-4)
+
+
 def test_microbatcher_matches_solo_bucketed_calls(bundle):
     """A batched row == the same request run solo at the same bucket padding,
     for mixed lengths landing in different buckets."""
