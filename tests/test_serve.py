@@ -197,7 +197,7 @@ def test_microbatcher_error_isolated_to_group(bundle):
         batcher.close()
 
 
-def test_http_server_batched_roundtrip(bundle, reference_dir):
+def test_http_server_batched_roundtrip(bundle):
     """Concurrent HTTP /convert requests through a MicroBatcher come back
     correct per request."""
     import io
