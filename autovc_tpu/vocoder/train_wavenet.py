@@ -172,8 +172,20 @@ class WaveNetTrainer:
         np.savez(
             path,
             meta_init_step=np.int64(self.init_step),
+            meta_count=np.int64(self.opt_count()),
             **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)},
         )
+
+    def opt_count(self) -> int:
+        """Run-local optimizer step count (adam's count leaf — the only
+        integer scalar in the opt state). Effective noam position is
+        opt_count() + init_step; external tooling (the training watchdog's
+        remaining-budget arithmetic) reads this back as meta_count."""
+        for leaf in jax.tree_util.tree_leaves(self.opt_state):
+            a = np.asarray(leaf)
+            if a.ndim == 0 and np.issubdtype(a.dtype, np.integer):
+                return int(a)
+        return 0
 
     def restore_train_state(self, path: str):
         """Inverse of save_train_state; call after load() so EMA comes from

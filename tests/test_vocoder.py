@@ -220,6 +220,12 @@ def test_wavenet_train_state_roundtrip(tmp_path):
     ):
         assert float(jnp.abs(jnp.asarray(a, jnp.float32) - jnp.asarray(b, jnp.float32)).max()) == 0.0
 
+    # run-local count is exposed by name so external tooling (the training
+    # watchdog's remaining-budget arithmetic) never parses opt-state leaves
+    assert t1.opt_count() == 2
+    assert int(np.load(st)["meta_count"]) == 2
+    assert t2.opt_count() == 2
+
 
 def test_wavenet_train_state_init_step_mismatch(tmp_path):
     """The effective noam position is count + the ORIGINATING trainer's
