@@ -83,6 +83,14 @@ class MicroBatcher:
                  bucket: int = 256):
         from autovc_tpu.convert import bucket_length
 
+        freq = srv.manifest["freq"]
+        if bucket % freq != 0:
+            # validated here (and at CLI startup) so a bad --bucket is a
+            # startup error, not an assert inside the dispatcher thread
+            raise ValueError(
+                f"bucket ({bucket}) must be a multiple of the bundle's "
+                f"freq ({freq})"
+            )
         self._bucket_length = bucket_length
         self.srv = srv
         self.window_s = window_s
@@ -90,6 +98,7 @@ class MicroBatcher:
         self.bucket = bucket
         self.batch_sizes: list[int] = []  # observability: per-call b
         self._q: queue.Queue = queue.Queue()
+        self._closed = False
         self._thread = threading.Thread(
             target=self._loop, name="serve-batcher", daemon=True
         )
@@ -97,6 +106,8 @@ class MicroBatcher:
 
     def convert(self, feats, emb_org, emb_trg):
         """Blocking request entry point (called from handler threads)."""
+        if self._closed:
+            raise RuntimeError("server is shutting down")
         item = _Item(feats, emb_org, emb_trg)
         self._q.put(item)
         item.done.wait()
@@ -105,16 +116,21 @@ class MicroBatcher:
         return item.result
 
     def close(self):
+        self._closed = True  # new convert() calls fail fast from here on
         self._q.put(_STOP)
         self._thread.join(timeout=30.0)
+        if self._thread.is_alive():
+            print("[serve] warning: batcher thread did not exit within 30s")
 
     def _loop(self):
         while True:
             first = self._q.get()
             if first is _STOP:
+                self._drain_and_exit()
                 return
             batch = [first]
             deadline = time.monotonic() + self.window_s
+            stopping = False
             while len(batch) < self.max_batch:
                 timeout = deadline - time.monotonic()
                 if timeout <= 0:
@@ -124,10 +140,44 @@ class MicroBatcher:
                 except queue.Empty:
                     break
                 if nxt is _STOP:
-                    self._run(batch)
-                    return
+                    stopping = True
+                    break
                 batch.append(nxt)
+            self._run_safe(batch)
+            if stopping:
+                self._drain_and_exit()
+                return
+
+    def _drain_and_exit(self):
+        """Answer requests that were queued behind the _STOP sentinel (they
+        won the race against the closed flag) so no handler thread is left
+        blocked on done.wait() forever."""
+        batch: list[_Item] = []
+        while True:
+            try:
+                it = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if it is _STOP:
+                continue
+            batch.append(it)
+            if len(batch) >= self.max_batch:
+                self._run_safe(batch)
+                batch = []
+        if batch:
+            self._run_safe(batch)
+
+    def _run_safe(self, batch):
+        """_run with a belt-and-braces guard: ANY escaped exception fails the
+        batch's items instead of killing the dispatcher thread (a dead
+        dispatcher would hang every subsequent request on done.wait())."""
+        try:
             self._run(batch)
+        except Exception as exc:
+            for it in batch:
+                if not it.done.is_set():
+                    it.error = exc
+                    it.done.set()
 
     def _run(self, batch):
         import numpy as np
@@ -212,6 +262,14 @@ def make_handler(srv, lock, batcher: MicroBatcher | None = None):
                         f"features must be (T, {srv.manifest['n_bins']}), "
                         f"got {feats.shape}"
                     )
+                # validate embeddings HERE so a malformed request gets its
+                # own 400 instead of failing the whole co-batched group
+                dim_emb = srv.manifest["dim_emb"]
+                for name, e in (("emb_org", eo), ("emb_trg", et)):
+                    if e.shape != (dim_emb,):
+                        raise ValueError(
+                            f"{name} must be ({dim_emb},), got {e.shape}"
+                        )
                 if batcher is not None:
                     out = batcher.convert(feats, eo, et)
                 else:
@@ -276,6 +334,11 @@ def main(argv=None):
 
     batcher = None
     if args.batch_window > 0:
+        if args.bucket % srv.manifest["freq"] != 0:
+            ap.error(
+                f"--bucket {args.bucket} must be a multiple of the bundle's "
+                f"freq ({srv.manifest['freq']})"
+            )
         batcher = MicroBatcher(
             srv, window_s=args.batch_window / 1e3,
             max_batch=args.max_batch, bucket=args.bucket,

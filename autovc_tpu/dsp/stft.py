@@ -122,10 +122,17 @@ def istft(
     y = total / jnp.maximum(wsum, 1e-10).astype(total.dtype)
     # strip the reflect-pad centering
     pad = n_fft // 2
-    y = y[..., pad : out_len - pad]
-    if length is not None:
-        y = y[..., :length]
-    return y
+    if length is None:
+        return y[..., pad : out_len - pad]
+    # librosa semantics: return EXACTLY `length` samples. Samples beyond
+    # (t-1)*hop up to out_len - pad are real overlap-add output (the last
+    # frame spans them), so length = t*hop — the neural vocoders' contract —
+    # returns signal, not zeros; a mere [..., :length] trim on the stripped
+    # (t-1)*hop buffer would silently come up one hop short.
+    extra = pad + length - out_len
+    if extra > 0:  # request beyond the WOLA buffer: zero-fill the tail
+        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, extra)])
+    return y[..., pad : pad + length]
 
 
 @functools.partial(jax.jit, static_argnames=("n_fft", "hop", "n_iter", "length"))

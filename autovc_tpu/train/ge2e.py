@@ -170,6 +170,15 @@ class GE2ETrainer:
             batch = next(batches)
             if isinstance(batch, tuple):
                 batch, labels = batch
+            elif self.n_classes:
+                # an unlabeled iterator with the CE auxiliary enabled would
+                # silently train every speaker toward class 0 — the exact
+                # collapse the auxiliary exists to prevent
+                raise ValueError(
+                    "GE2ETrainer was built with n_classes>0 but the batch "
+                    "iterator yields unlabeled arrays; use "
+                    "sample_ge2e_batch(..., return_labels=True)"
+                )
             else:
                 labels = np.zeros((batch.shape[0],), np.int32)
             self.params, self.opt_state, loss = self._step(

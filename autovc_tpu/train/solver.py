@@ -199,7 +199,12 @@ class Solver:
             ),
         )
 
-    def _compile_step(self):
+    def _build_spk_aux(self):
+        """SpeakerAux for lambda_spk, built once and shared by the train
+        step, the watch observer, and eval_loss (an eval g_loss without the
+        speaker term would not be comparable to the training g_loss)."""
+        if hasattr(self, "_spk_aux"):
+            return self._spk_aux
         spk = None
         if self.cfg.train.lambda_spk > 0:
             assert self.cfg.train.spk_ckpt, "lambda_spk > 0 requires spk_ckpt"
@@ -220,7 +225,11 @@ class Solver:
                 f"protocol={self.cfg.train.spk_protocol}, "
                 f"frozen encoder: {self.cfg.train.spk_ckpt})"
             )
-        self._spk_aux = spk  # reused by the watch observer (same grad field)
+        self._spk_aux = spk
+        return spk
+
+    def _compile_step(self):
+        spk = self._build_spk_aux()
         raw = make_train_step(self.model, self.cfg, self.optimizer, spk=spk)
         bsh = batch_sharding(self.mesh)
         rep = replicated(self.mesh)
@@ -330,7 +339,7 @@ class Solver:
                     from autovc_tpu.train.watch import make_watch_fn
 
                     self._watch_fn = make_watch_fn(
-                        self.model, cfg, spk=self._spk_aux
+                        self.model, cfg, spk=self._build_spk_aux()
                     )
                 self.metrics.log_histograms(i, self._watch_fn(self.state, x, emb))
             if i % cfg.train.checkpoint_step == 0:
@@ -494,5 +503,6 @@ class Solver:
         _, (metrics, _) = _loss_fn(
             self.model, self.cfg, self.state.params, self.state.batch_stats,
             jnp.asarray(x), jnp.asarray(emb), train=False,
+            spk=self._build_spk_aux(),
         )
         return {k: float(v) for k, v in metrics.items()}

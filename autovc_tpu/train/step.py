@@ -245,12 +245,18 @@ def make_train_step(
     return step_fn
 
 
-def make_eval_loss(model, cfg: Config) -> Callable:
-    """Jittable eval-mode loss (running-average BN), for validation."""
+def make_eval_loss(model, cfg: Config, spk=None) -> Callable:
+    """Jittable eval-mode loss (running-average BN), for validation.
+
+    spk: same SpeakerAux the train step uses — when cfg.train.lambda_spk > 0
+    it MUST be passed, otherwise the validation g_loss silently omits the
+    speaker term and is not comparable to the training g_loss."""
 
     @functools.partial(jax.jit)
     def eval_fn(params, batch_stats, x, emb):
-        _, (metrics, _) = loss_fn(model, cfg, params, batch_stats, x, emb, train=False)
+        _, (metrics, _) = loss_fn(
+            model, cfg, params, batch_stats, x, emb, train=False, spk=spk
+        )
         return metrics
 
     return eval_fn

@@ -65,6 +65,12 @@ def refine_with_mel_magnitude(
     Keeps wav's phase, replaces its STFT magnitude with the mel-derived one,
     then `n_iter` Griffin-Lim consistency iterations. n_iter=0 is a pure
     magnitude swap (single iSTFT).
+
+    Output length is T * hop — the same contract as the neural vocoders
+    (HiFiGAN upsamples exactly hop samples per frame), so hybrid-mode and
+    hifigan-mode serving bundles return identical shapes for identical
+    input (serve protocol: "waveform (T*hop,)"). griffin_lim's default
+    (T-1)*hop would silently drop the final hop of audio.
     """
     mel = jnp.asarray(mel)
     lin = mel_to_linear(mel, audio)  # (T, bins)
@@ -81,5 +87,6 @@ def refine_with_mel_magnitude(
         audio.n_fft,
         audio.hop_length,
         n_iter=n_iter,
+        length=t * audio.hop_length,
         init_phase=phase,
     )

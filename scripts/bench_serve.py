@@ -63,10 +63,17 @@ def run_side(args, batch_window_ms: float, payloads) -> dict:
         # one warm pass to specialize the batched (b, tb) combos before timing
         def post(i, sink):
             t0 = time.monotonic()
-            resp = urllib.request.urlopen(
-                base + "/convert", data=payloads[i], timeout=1800
-            )
-            resp.read()
+            try:
+                resp = urllib.request.urlopen(
+                    base + "/convert", data=payloads[i], timeout=1800
+                )
+                resp.read()
+            except Exception as exc:
+                # record the failure instead of leaving None in the sink (a
+                # single bad request must not crash the percentile math after
+                # the whole bench already ran)
+                sink[i] = exc
+                return
             sink[i] = time.monotonic() - t0
 
         warm = [None] * len(payloads)
@@ -76,6 +83,7 @@ def run_side(args, batch_window_ms: float, payloads) -> dict:
             with sem:
                 post(i, sink)
 
+        warm_stats = None
         for sink in (warm, latencies):
             threads = [
                 threading.Thread(target=bounded, args=(i, sink))
@@ -87,16 +95,36 @@ def run_side(args, batch_window_ms: float, payloads) -> dict:
             for th in threads:
                 th.join()
             wall = time.monotonic() - t_start
+            if sink is warm:
+                # snapshot so the timed pass's batch stats can be isolated
+                # (the server accumulates across both passes)
+                warm_stats = json.loads(
+                    urllib.request.urlopen(base + "/stats").read()
+                )
 
         stats = json.loads(urllib.request.urlopen(base + "/stats").read())
-        lat = sorted(latencies)
+        if warm_stats and stats.get("batching"):
+            calls = stats["program_calls"] - warm_stats["program_calls"]
+            reqs = stats["requests"] - warm_stats["requests"]
+            stats = dict(
+                stats,
+                program_calls=calls,
+                requests=reqs,
+                mean_batch=round(reqs / calls, 2) if calls else None,
+                note="timed pass only (warm pass subtracted)",
+            )
+        failures = [x for x in latencies if not isinstance(x, float)]
+        lat = sorted(x for x in latencies if isinstance(x, float))
+        if not lat:
+            sys.exit(f"all {len(latencies)} timed requests failed: {failures[:3]}")
         return {
             "batch_window_ms": batch_window_ms,
             "requests": len(payloads),
+            "failed": len(failures),
             "wall_s": round(wall, 3),
-            "req_per_s": round(len(payloads) / wall, 2),
+            "req_per_s": round(len(lat) / wall, 2),
             "p50_s": round(lat[len(lat) // 2], 3),
-            "p95_s": round(lat[int(len(lat) * 0.95)], 3),
+            "p95_s": round(lat[min(int(len(lat) * 0.95), len(lat) - 1)], 3),
             "server_stats": stats,
         }
     finally:

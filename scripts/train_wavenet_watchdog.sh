@@ -15,8 +15,12 @@
 # Total-iteration accounting across restarts: the trainer's --num_iters is
 # run-local, so each restart would re-run the full budget. We bound the
 # loop by checkpoint count instead: every restart reduces the remaining
-# budget by the iterations already persisted (run-local count from the
-# state sibling), mirroring VALIDATION_r4 SS1's accounting.
+# budget by the iterations persisted SINCE THIS WATCHDOG'S BASELINE.
+# meta_count is cumulative across exact resumes (restore_train_state
+# carries the originating run's optimizer count), so when INIT itself has
+# a train-state sibling we subtract its count first — otherwise a restart
+# after the first crash would credit INIT's prior leg against NUM_ITERS
+# and silently under-train.
 #
 # Usage: scripts/train_wavenet_watchdog.sh OUT INIT INIT_STEP NUM_ITERS \
 #            [SAVE_EVERY] [BATCH] [MAX_TIME] [extra train_vocoder args...]
@@ -31,29 +35,38 @@ MAX_TIME=${7:-7936}
 shift 7 2>/dev/null || shift $#
 
 persisted() {
-  # run-local iteration count already persisted in OUT's state sibling
-  python - "$OUT.train_state.npz" <<'EOF'
+  # cumulative optimizer count in a train-state sibling (0 if absent)
+  python - "$1" <<'EOF'
 import sys, numpy as np, os
 p = sys.argv[1]
 if not os.path.exists(p):
     print(0)
 else:
     z = np.load(p, allow_pickle=False)
-    # run-local optimizer count (WaveNetTrainer.save_train_state metadata)
+    # cumulative optimizer count (WaveNetTrainer.save_train_state metadata)
     print(int(z["meta_count"]) if "meta_count" in z else 0)
 EOF
 }
 
+BASE=$(persisted "$INIT.train_state.npz")
+[ "$BASE" -gt 0 ] && echo "[watchdog] INIT carries a prior leg: baseline count $BASE"
+
 attempt=0
 while :; do
   attempt=$((attempt + 1))
-  done_iters=$(persisted)
-  remaining=$((NUM_ITERS - done_iters))
+  if [ -f "$OUT.train_state.npz" ]; then
+    cum=$(persisted "$OUT.train_state.npz")
+    resumable=1
+  else
+    cum=$BASE
+    resumable=0
+  fi
+  remaining=$((NUM_ITERS - cum + BASE))
   if [ "$remaining" -le 0 ]; then
-    echo "[watchdog] complete: $done_iters/$NUM_ITERS persisted"
+    echo "[watchdog] complete: $((cum - BASE))/$NUM_ITERS persisted this leg"
     exit 0
   fi
-  if [ "$done_iters" -gt 0 ]; then
+  if [ "$resumable" -eq 1 ]; then
     init="$OUT" # resume exactly from our own latest checkpoint
   else
     init="$INIT"

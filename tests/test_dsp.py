@@ -199,6 +199,29 @@ def test_istft_reconstructs_signal():
     np.testing.assert_allclose(y[512:-512], x[512:-512], atol=1e-3)
 
 
+def test_istft_length_extends_with_real_signal():
+    """length > (T-1)*hop must return real overlap-add samples, not a
+    silently-short array (librosa semantics). This is the contract behind
+    the neural/hybrid vocoders' T*hop output (vocoder/hybrid.py): the last
+    frame's samples live past the (T-1)*hop strip point."""
+    rng = np.random.RandomState(7)
+    n = 4096
+    x = rng.randn(n).astype(np.float32)
+    spec = stft_complex(jnp.asarray(x))
+    t = spec.shape[-2]  # n/hop + 1 = 17 center-padded frames
+    req = t * 256  # genuinely exceeds the old (t-1)*hop strip
+    y = np.asarray(istft(spec, length=req))
+    assert y.shape == (req,)
+    # the extension carries signal (it is NOT zero padding)...
+    assert np.abs(y[(t - 1) * 256 :]).max() > 0.1
+    # ...and the interior still reconstructs the input
+    np.testing.assert_allclose(y[512:n - 512], x[512:-512], atol=1e-3)
+    # far beyond the WOLA buffer the remainder IS zero-filled
+    y_long = np.asarray(istft(spec, length=req + 2048))
+    assert y_long.shape == (req + 2048,)
+    assert np.abs(y_long[-1024:]).max() == 0.0
+
+
 def test_griffin_lim_reduces_spectral_error():
     t = np.arange(8192) / 16000.0
     x = np.sin(2 * np.pi * 440 * t).astype(np.float32) * 0.5

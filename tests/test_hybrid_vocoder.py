@@ -73,7 +73,9 @@ def test_hybrid_vocoder_wraps_neural_and_pads_short_output():
 
     hv = HybridVocoder(StubNeural(), AUDIO, n_iter=2)
     out = np.asarray(hv.generate(mel))
-    assert out.shape == ((mel.shape[0] - 1) * AUDIO.hop_length,)
+    # same length contract as the neural vocoders: T * hop (the serve
+    # protocol promises identical shapes across vocoder modes)
+    assert out.shape == (mel.shape[0] * AUDIO.hop_length,)
     assert np.isfinite(out).all()
     # the projection must improve on the degraded neural output
     assert _mel_l1(out, mel) < _mel_l1(np.asarray(StubNeural().generate(mel)), mel)
