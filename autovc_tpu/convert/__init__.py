@@ -120,7 +120,6 @@ class Converter:
         for tb, items in by_bucket.items():
             for off in range(0, len(items), batch_size):
                 group = items[off : off + batch_size]
-                b = len(group)
                 xs = np.zeros((batch_size, tb, group[0][2].shape[-1]), np.float32)
                 es = np.zeros((batch_size, group[0][1].src_embedding.shape[0]), np.float32)
                 et = np.zeros_like(es)
@@ -128,15 +127,15 @@ class Converter:
                     xs[k, : x.shape[0]] = x
                     es[k] = s.src_embedding
                     et[k] = s.trg_embedding
-                out = np.asarray(
-                    self._fwd(self.variables, jnp.asarray(xs), jnp.asarray(es), jnp.asarray(et))
-                )
+                dev = self._fwd(self.variables, jnp.asarray(xs), jnp.asarray(es), jnp.asarray(et))
+                if to_mel and self.cfg.model.model_type == "stft":
+                    # project the whole batch on device: ONE D2H transfer
+                    # instead of per-utterance round-trips through the tunnel
+                    dev = dev @ self._mel_basis
+                out = np.asarray(dev)
                 for k, (idx, s, x, len_pad, _) in enumerate(group):
                     total_pad = tb - x.shape[0] + len_pad
-                    r = out[k][: tb - total_pad]
-                    if to_mel and self.cfg.model.model_type == "stft":
-                        r = np.asarray(jnp.asarray(r) @ self._mel_basis)
-                    results[idx] = r
+                    results[idx] = out[k][: tb - total_pad]
         return results  # type: ignore[return-value]
 
 
@@ -179,7 +178,7 @@ class WavConverter:
     def valid_length(self, n: int) -> int:
         """Largest L <= n with ((L - win)/hop + 1) divisible by freq
         (the reference hardcodes 33536 = 128 frames; conversion_nina.py:74)."""
-        a, hop, win = self.cfg.audio, self.cfg.audio.hop_length, self.cfg.audio.win_length
+        hop, win = self.cfg.audio.hop_length, self.cfg.audio.win_length
         frames = (n - win) // hop + 1
         frames -= frames % self.cfg.model.freq
         if frames <= 0:

@@ -87,6 +87,7 @@ class MelFrontend:
             audio.mel_fmax,
             dtype=np.float64,
         )
+        self._mel_basis_dev = None  # device/dtype-cast copy, built lazily
 
     def highpass_dither(self, wav: jax.Array, noise: jax.Array | None) -> jax.Array:
         """filtfilt highpass then y*0.96 + noise (make_spect.py:74-76).
@@ -108,7 +109,12 @@ class MelFrontend:
         """wav (..., L) -> normalized mel (..., T, 80) — the 'spmel' variant."""
         w = self.highpass_dither(wav, noise)
         mag = stft_magnitude(w, self.audio.n_fft, self.audio.hop_length)
-        m = mel_from_stft_mag(mag, jnp.asarray(self.mel_basis, self.dtype))
+        if self._mel_basis_dev is None:
+            # cache the device/dtype cast: this runs eagerly (only the STFT
+            # is jitted), so re-uploading the (513, 80) basis per call would
+            # cost an H2D transfer per utterance through the tunnel
+            self._mel_basis_dev = jnp.asarray(self.mel_basis, self.dtype)
+        m = mel_from_stft_mag(mag, self._mel_basis_dev)
         return normalize_db(m, self.audio.ref_level_db, self.audio.min_level_db)
 
     def stft_features(self, wav: jax.Array, noise: jax.Array | None = None) -> jax.Array:

@@ -109,13 +109,20 @@ def istft(
             start,
             axis=-1,
         )
-        ones = jnp.tile(w2, n_sub)
-        wsum = jax.lax.dynamic_update_slice_in_dim(
-            wsum,
-            jax.lax.dynamic_slice_in_dim(wsum, start, n_sub * n_fft, axis=-1) + ones,
-            start,
-            axis=-1,
-        )
+        # window-sum counts REAL frames only: the zero frames padded in to
+        # make t divide k contribute nothing to `total`, but tiling w2 over
+        # them inflates wsum where a phantom overlaps the real tail —
+        # attenuating the last hop of audio whenever t % k != 0
+        n_real = (t - phase + k - 1) // k if phase < t else 0
+        if n_real:
+            ones = jnp.tile(w2, n_real)
+            wsum = jax.lax.dynamic_update_slice_in_dim(
+                wsum,
+                jax.lax.dynamic_slice_in_dim(wsum, start, n_real * n_fft, axis=-1)
+                + ones,
+                start,
+                axis=-1,
+            )
 
     total = total[..., :out_len]
     wsum = wsum[:out_len]

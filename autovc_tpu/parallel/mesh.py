@@ -74,28 +74,22 @@ def param_shardings(params: Any, mesh: Mesh, tensor_parallel: bool = False):
     def one(path: str, leaf) -> NamedSharding:
         if tensor_parallel and axis > 1:
             for pat, spec in _TP_RULES:
-                if re.match(pat, path):
-                    # verify divisibility of every sharded dim
-                    ok = True
-                    for dim, name in zip(leaf.shape, spec):
-                        if name == "model" and dim % axis != 0:
-                            ok = False
-                    if ok and len(spec) <= leaf.ndim:
-                        pad = (None,) * (leaf.ndim - len(spec))
-                        return NamedSharding(mesh, P(*pad, *spec))
+                if re.match(pat, path) and len(spec) <= leaf.ndim:
+                    # a short spec right-aligns (P pads None on the LEFT), so
+                    # the divisibility check must look at the same trailing
+                    # dims the sharding will actually land on
+                    pad = (None,) * (leaf.ndim - len(spec))
+                    full = pad + tuple(spec)
+                    if all(
+                        name != "model" or dim % axis == 0
+                        for dim, name in zip(leaf.shape, full)
+                    ):
+                        return NamedSharding(mesh, P(*full))
         return NamedSharding(mesh, P())
-
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    leaves = {}
-    for path, leaf in flat:
-        key = "/".join(
-            p.key if hasattr(p, "key") else str(p) for p in path
-        )
-        leaves[key] = one(key, leaf)
 
     def mapper(path, leaf):
         key = "/".join(p.key if hasattr(p, "key") else str(p) for p in path)
-        return leaves[key]
+        return one(key, leaf)
 
     return jax.tree_util.tree_map_with_path(mapper, params)
 

@@ -58,23 +58,27 @@ def halo_conv1d(
     assert k % 2 == 1
 
     def local(x_chunk, kernel, bias):
-        n = jax.lax.axis_size(axis)
-        idx = jax.lax.axis_index(axis)
-        left_edge = x_chunk[:, :halo]  # my first frames -> right neighbor's halo
-        right_edge = x_chunk[:, -halo:]  # my last frames -> left neighbor's halo
+        if halo == 0:
+            # k=1: pointwise conv, nothing to exchange (and x_chunk[:, -0:]
+            # would select the WHOLE chunk, doubling the output length)
+            padded = x_chunk
+        else:
+            n = jax.lax.axis_size(axis)
+            idx = jax.lax.axis_index(axis)
+            left_edge = x_chunk[:, :halo]  # first frames -> right neighbor's halo
+            right_edge = x_chunk[:, -halo:]  # last frames -> left neighbor's halo
 
-        # receive from left neighbor (their right edge), shifting right
-        from_left = jax.lax.ppermute(
-            right_edge, axis, [(i, (i + 1) % n) for i in range(n)]
-        )
-        from_right = jax.lax.ppermute(
-            left_edge, axis, [(i, (i - 1) % n) for i in range(n)]
-        )
-        zeros = jnp.zeros_like(from_left)
-        from_left = jnp.where(idx == 0, zeros, from_left)
-        from_right = jnp.where(idx == n - 1, zeros, from_right)
-
-        padded = jnp.concatenate([from_left, x_chunk, from_right], axis=1)
+            # receive from left neighbor (their right edge), shifting right
+            from_left = jax.lax.ppermute(
+                right_edge, axis, [(i, (i + 1) % n) for i in range(n)]
+            )
+            from_right = jax.lax.ppermute(
+                left_edge, axis, [(i, (i - 1) % n) for i in range(n)]
+            )
+            zeros = jnp.zeros_like(from_left)
+            from_left = jnp.where(idx == 0, zeros, from_left)
+            from_right = jnp.where(idx == n - 1, zeros, from_right)
+            padded = jnp.concatenate([from_left, x_chunk, from_right], axis=1)
         out = jax.lax.conv_general_dilated(
             padded, kernel, (1,), "VALID", dimension_numbers=("NHC", "HIO", "NHC")
         )
@@ -85,7 +89,7 @@ def halo_conv1d(
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(None, axis, None), P(), P() if bias is not None else P()),
+        in_specs=(P(None, axis, None), P(), P()),
         out_specs=P(None, axis, None),
     )(x, kernel, bias if bias is not None else jnp.zeros((kernel.shape[-1],), x.dtype))
 

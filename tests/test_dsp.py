@@ -222,6 +222,18 @@ def test_istft_length_extends_with_real_signal():
     assert np.abs(y_long[-1024:]).max() == 0.0
 
 
+@pytest.mark.parametrize("t_frames", [99, 100, 101, 102])
+def test_istft_tail_exact_for_any_frame_count(t_frames):
+    """The window-sum must count REAL frames only: zero frames padded in to
+    make T divide n_fft/hop used to inflate wsum where a phantom overlapped
+    the real tail, attenuating the last hop by ~16% whenever T % 4 != 0
+    (regression: max tail error was ~0.3 on randn input)."""
+    n = (t_frames - 1) * 256
+    x = np.random.RandomState(t_frames).randn(n).astype(np.float32)
+    y = np.asarray(istft(stft_complex(jnp.asarray(x)), length=n))
+    np.testing.assert_allclose(y[-256:], x[-256:], atol=1e-3)
+
+
 def test_griffin_lim_reduces_spectral_error():
     t = np.arange(8192) / 16000.0
     x = np.sin(2 * np.pi * 440 * t).astype(np.float32) * 0.5

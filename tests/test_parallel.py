@@ -53,6 +53,23 @@ def test_halo_conv1d_matches_dense(seq_mesh):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_halo_conv1d_kernel_size_one(seq_mesh):
+    """k=1 means halo=0: the edge slice x[:, -0:] would grab the WHOLE chunk
+    and double the output length (regression — ConvNorm's default kernel
+    size is 1, so SP users hit this with plain pointwise convs)."""
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 64, 16), jnp.float32)
+    kernel = jnp.asarray(rng.randn(1, 16, 8), jnp.float32) * 0.1
+    bias = jnp.asarray(rng.randn(8), jnp.float32)
+
+    ref = jax.lax.conv_general_dilated(
+        x, kernel, (1,), [(0, 0)], dimension_numbers=("NHC", "HIO", "NHC")
+    ) + bias
+    out = halo_conv1d(x, kernel, bias, seq_mesh)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 @pytest.mark.parametrize("reverse", [False, True])
 def test_sp_lstm_matches_single_device(seq_mesh, reverse):
     rng = np.random.RandomState(1)
