@@ -77,6 +77,7 @@ def main(argv=None):
                 np.load(os.path.join(feature_dir, rel)),
                 e.speaker_id,
                 e.embedding,
+                src_speaker=e.speaker_id,
             )
             for k, (rel, e) in enumerate(paths[off : off + chunk])
         ]

@@ -187,8 +187,14 @@ def main(argv=None):
 
 
 def _src_speaker(spec) -> str:
-    """all_pairs_specs names sources '<spk>_<utt>' (e.g. 'p225_003')."""
-    return spec.src_name.rsplit("_", 1)[0]
+    """Source speaker id: the spec's explicit field when the constructor knew
+    it, else parsed from '<spk>_<utt>' names (stripping a VCTK '_mic2' suffix
+    first so 'p225_001_mic2' resolves to 'p225', not 'p225_001')."""
+    if getattr(spec, "src_speaker", None):
+        return spec.src_speaker
+    name = spec.src_name
+    name = name.removesuffix("_mic2").removesuffix("_mic1")
+    return name.rsplit("_", 1)[0]
 
 
 if __name__ == "__main__":

@@ -13,6 +13,7 @@ Usage: python -m autovc_tpu.cli.import_torch --ckpt chkpnt_spmel_run.ckpt
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 
 import numpy as np
@@ -52,6 +53,18 @@ def main(argv=None):
     params = jax.tree_util.tree_map(jnp.asarray, params)
     stats = jax.tree_util.tree_map(jnp.asarray, stats)
 
+    # torch Adam moments aren't portable, but Solver.restore StandardRestores
+    # against the FULL optimizer pytree — an empty opt_state would crash
+    # --resume with a tree-structure mismatch. Write freshly initialized
+    # moments instead (make_optimizer's structure is cfg-independent:
+    # inject_hyperparams(adam), train/step.py:83-86).
+    from autovc_tpu.config import Config
+    from autovc_tpu.train.step import make_optimizer
+
+    cfg = Config()
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, model_type=args.model_type))
+    opt_state = make_optimizer(cfg).init(params)
+
     ckpt_dir = os.path.abspath(os.path.join(args.out_run_dir, "checkpoints"))
     mgr = ocp.CheckpointManager(ckpt_dir)
     mgr.save(
@@ -61,7 +74,7 @@ def main(argv=None):
                 {
                     "params": params,
                     "batch_stats": stats,
-                    "opt_state": {},  # optimizer state is torch-specific; fresh on resume
+                    "opt_state": opt_state,
                     "ema_params": params,
                     "step": jnp.asarray(step, jnp.int32),
                 }

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import zlib
 
 import numpy as np
 import scipy.signal
@@ -73,8 +74,12 @@ def extract_all(
     for speaker in speakers:
         os.makedirs(os.path.join(save_dir, speaker), exist_ok=True)
         files = sorted(os.listdir(os.path.join(wav_dir, speaker)))
-        # per-speaker seeded dither stream (make_spect.py:68)
-        prng = np.random.RandomState(int("".join(c for c in speaker if c.isdigit())))
+        # per-speaker seeded dither stream (make_spect.py:68); digit-less
+        # speaker names (the reference assumes VCTK 'pNNN') hash to a stable
+        # seed instead of crashing int('')
+        digits = "".join(c for c in speaker if c.isdigit())
+        seed = int(digits) if digits else zlib.crc32(speaker.encode()) % (2**31)
+        prng = np.random.RandomState(seed)
         for fname in files:
             if mic in fname or not fname.endswith(".wav"):
                 # skip the excluded microphone (make_spect.py:70)

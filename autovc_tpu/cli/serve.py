@@ -99,6 +99,10 @@ class MicroBatcher:
         self.batch_sizes: list[int] = []  # observability: per-call b
         self._q: queue.Queue = queue.Queue()
         self._closed = False
+        # serializes enqueue vs close: without it a handler that passed the
+        # _closed check could enqueue AFTER close() put _STOP and the
+        # dispatcher drained, leaving item.done.wait() blocked forever
+        self._submit_lock = threading.Lock()
         self._thread = threading.Thread(
             target=self._loop, name="serve-batcher", daemon=True
         )
@@ -106,18 +110,22 @@ class MicroBatcher:
 
     def convert(self, feats, emb_org, emb_trg):
         """Blocking request entry point (called from handler threads)."""
-        if self._closed:
-            raise RuntimeError("server is shutting down")
         item = _Item(feats, emb_org, emb_trg)
-        self._q.put(item)
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("server is shutting down")
+            # under the lock the item lands ahead of close()'s _STOP in the
+            # FIFO, so the dispatcher is guaranteed to answer it
+            self._q.put(item)
         item.done.wait()
         if item.error is not None:
             raise item.error
         return item.result
 
     def close(self):
-        self._closed = True  # new convert() calls fail fast from here on
-        self._q.put(_STOP)
+        with self._submit_lock:
+            self._closed = True  # new convert() calls fail fast from here on
+            self._q.put(_STOP)
         self._thread.join(timeout=30.0)
         if self._thread.is_alive():
             print("[serve] warning: batcher thread did not exit within 30s")
@@ -270,13 +278,19 @@ def make_handler(srv, lock, batcher: MicroBatcher | None = None):
                         raise ValueError(
                             f"{name} must be ({dim_emb},), got {e.shape}"
                         )
+            except Exception as exc:  # malformed request -> 400, not a crash
+                self._send(400, f"{type(exc).__name__}: {exc}".encode(), "text/plain")
+                return
+            try:
                 if batcher is not None:
                     out = batcher.convert(feats, eo, et)
                 else:
                     with lock:  # one device; serialize calls
                         out = srv.convert(feats, eo, et)
-            except Exception as exc:  # malformed request -> 400, not a crash
-                self._send(400, f"{type(exc).__name__}: {exc}".encode(), "text/plain")
+            except Exception as exc:
+                # device/compile/bundle failures are SERVER errors: a 5xx so
+                # clients don't blame (and endlessly retry) their payload
+                self._send(500, f"{type(exc).__name__}: {exc}".encode(), "text/plain")
                 return
             buf = io.BytesIO()
             np.save(buf, np.asarray(out, np.float32))

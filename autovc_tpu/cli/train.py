@@ -235,17 +235,27 @@ def main(argv=None):
         from autovc_tpu.vocoder.wavenet import flatten_params
 
         params = solver.state.params
+        stats = solver.state.batch_stats
         if jax.process_count() > 1:
             # collective: EVERY process participates; gathers TP-sharded
             # leaves to full host arrays
             from jax.experimental import multihost_utils as mhu
 
             params = mhu.process_allgather(params, tiled=True)
+            stats = mhu.process_allgather(stats, tiled=True)
         if jax.process_index() == 0:
+            # same artifact schema as cli.export_ckpt: params + batch_stats
+            # (BN eval mode needs them) + __step__, so load_artifact consumers
+            # (convert --artifact, evaluate_conversion, export_serving) work
             flat = {
                 k: np.asarray(v)
                 for k, v in flatten_params(params, "params").items()
             }
+            flat.update(
+                (k, np.asarray(v))
+                for k, v in flatten_params(stats, "batch_stats").items()
+            )
+            flat["__step__"] = np.asarray(int(solver.state.step), np.int64)
             np.savez(args.export, **flat)
             print(f"[train] exported params -> {args.export}")
     if args.multihost:

@@ -228,6 +228,7 @@ def all_pairs_specs(entries, feature_dir: str, utterance_index: int = 0):
                     src_features=feats,
                     trg_speaker=trg.speaker_id,
                     trg_embedding=trg.embedding,
+                    src_speaker=src.speaker_id,
                 )
             )
             i += 1

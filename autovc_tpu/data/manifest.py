@@ -36,6 +36,10 @@ class ConversionSpec:
     src_features: np.ndarray  # (T, F)
     trg_speaker: str
     trg_embedding: np.ndarray
+    # source speaker id when the constructor knows it; consumers fall back to
+    # parsing src_name (which mis-handles e.g. VCTK '_mic2' suffixes) only
+    # when this is None (reference results pkls don't carry it)
+    src_speaker: str | None = None
 
 
 def load_train_manifest(path: str) -> list[SpeakerEntry]:

@@ -45,6 +45,11 @@ def embed_speaker(
             alt = int(rng.choice(candidates))
             candidates = np.delete(candidates, np.argwhere(candidates == alt))
             mel = np.load(os.path.join(mel_dir, speaker, files[alt]))
+        if mel.shape[0] < len_crop:
+            # every candidate exhausted and still short (all clips < ~2 s):
+            # zero-pad to the crop like the training dataset does rather than
+            # aborting the whole corpus on rng.integers(high <= 0)
+            mel = np.pad(mel, ((0, len_crop - mel.shape[0]), (0, 0)))
         left = int(rng.integers(0, mel.shape[0] - len_crop + 1))
         crop = mel[None, left : left + len_crop].astype(np.float32)
         embs.append(np.asarray(apply_fn(jnp.asarray(crop)))[0])
@@ -130,6 +135,7 @@ def build_conversion_metadata(
                 src_features=feats,
                 trg_speaker=trg,
                 trg_embedding=embeddings[trg],
+                src_speaker=src,
             )
         )
     if log_path:

@@ -25,11 +25,7 @@ from typing import Any, Mapping
 
 import numpy as np
 
-
-def _np(t) -> np.ndarray:
-    if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
-    return np.asarray(t, dtype=np.float32)
+from autovc_tpu.interop._torch_utils import to_np as _np
 
 
 def convert_conv(sd: Mapping[str, Any], prefix: str) -> dict:

@@ -128,6 +128,15 @@ Buffer load_npy(const char* path) {
     const char* p = hdr.c_str() + comma + 1;
     while (*p == ' ') ++p;
     if (*p != ')') cols = std::strtoll(p, nullptr, 10);
+    // reject >=3-D arrays: a further dimension before ')' would otherwise be
+    // silently dropped and the store would expose the first rows*cols floats
+    // of a larger tensor as if it were the whole array
+    size_t comma2 = hdr.find(',', comma + 1);
+    if (comma2 != std::string::npos && comma2 < close) {
+      const char* q = hdr.c_str() + comma2 + 1;
+      while (*q == ' ') ++q;
+      if (*q != ')') return b;
+    }
   }
   size_t data_off = hoff + hlen;
   size_t count = static_cast<size_t>(rows) * static_cast<size_t>(cols);

@@ -170,3 +170,47 @@ def test_evaluate_vocoder_cli(tiny_corpus, tmp_path, capsys):
     rec = json.loads(out.read_text().strip())
     assert rec["vocoder"] == "griffinlim" and rec["utterances"] == 1
     assert 0.0 < rec["mel_l1_mean"] < 0.2  # GL at 4 iters is rough but sane
+
+
+@pytest.mark.slow
+def test_train_export_artifact_is_complete(tiny_corpus):
+    """cli.train --export must write the full export_ckpt schema (params +
+    batch_stats + __step__): BN eval mode needs the stats, so an artifact
+    without them crashes every load_artifact consumer."""
+    from autovc_tpu.cli.convert import main as convert_main
+    from autovc_tpu.cli.export_ckpt import load_artifact
+    from autovc_tpu.cli.train import main as train_main
+
+    art = os.path.join(tiny_corpus, "train_export.npz")
+    train_main(
+        [
+            "--platform", "cpu", "--main_dir", tiny_corpus, "--run_name", "texp",
+            "--num_iters", "1", "--log_step", "1", "--checkpoint_step", "1",
+            "--len_crop", "64", "--dim_emb", "8", "--export", art,
+        ]
+    )
+    variables, step = load_artifact(art)
+    assert step >= 1
+    assert variables["batch_stats"], "exported artifact is missing batch_stats"
+    # and the consumer path actually runs: convert straight from the artifact
+    out = os.path.join(tiny_corpus, "spmel", "results_train_export.pkl")
+    convert_main(
+        ["--platform", "cpu", "--main_dir", tiny_corpus, "--artifact", art, "--out", out]
+    )
+    assert os.path.exists(out)
+
+
+def test_make_spect_digitless_speaker_dir(tiny_corpus, tmp_path, reference_dir):
+    """Speaker dirs without digits (non-VCTC naming) get a stable hashed
+    dither seed instead of int('') crashing the whole extraction."""
+    from autovc_tpu.cli.make_spect import main
+
+    root = tmp_path / "named_corpus"
+    d = root / "wavs" / "alice"
+    d.mkdir(parents=True)
+    src = os.path.join(reference_dir, "wavs", "p225")
+    f = sorted(os.listdir(src))[0]
+    shutil.copy(os.path.join(src, f), d / f)
+    main(["--platform", "cpu", "--main_dir", str(root)])
+    out = root / "spmel" / "alice"
+    assert [p for p in os.listdir(out) if p.endswith(".npy")]

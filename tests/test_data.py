@@ -71,3 +71,23 @@ def test_host_sharded_iterators_partition_global_batch(spmel_dataset):
 def test_batch_size_exceeding_speakers_raises(spmel_dataset):
     with pytest.raises(ValueError):
         BatchIterator(spmel_dataset, batch_size=16, len_crop=128)
+
+
+def test_embed_speaker_pads_when_all_utterances_short(tmp_path):
+    """A speaker whose every clip is shorter than len_crop embeds via
+    zero-padding instead of crashing rng.integers(high <= 0)."""
+    from autovc_tpu.data.metadata_builder import embed_speaker
+
+    d = tmp_path / "short_spk"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        np.save(d / f"u{i}.npy", rng.random((40 + i, 80), np.float32))
+
+    def apply_fn(x):
+        # stand-in d-vector head: mean over time -> (B, 4)
+        return np.asarray(x).mean(axis=1)[:, :4]
+
+    emb = embed_speaker(apply_fn, str(tmp_path), "short_spk", rng,
+                        num_uttrs=3, len_crop=128)
+    assert emb.shape == (4,) and np.isfinite(emb).all()

@@ -170,3 +170,19 @@ def test_mcd_scales_with_distortion_and_handles_length_mismatch():
     assert 0 < small < big
     rep = mel_fidelity_report(mel, np.vstack([mel, mel[:5]]))  # longer hyp
     assert rep["mel_l1"] == 0.0 and rep["mcd_db"] == 0.0
+
+
+def test_src_speaker_prefers_explicit_field_and_handles_mic_suffix():
+    from autovc_tpu.cli.evaluate_conversion import _src_speaker
+    from autovc_tpu.data.manifest import ConversionSpec
+
+    emb = np.zeros(4, np.float32)
+    feats = np.zeros((8, 80), np.float32)
+    explicit = ConversionSpec(0, "p225_001_mic2", emb, feats, "p228", emb,
+                              src_speaker="p225")
+    assert _src_speaker(explicit) == "p225"
+    # legacy specs (reference results pkls) lack the field: parse falls back
+    legacy = ConversionSpec(0, "p225_001_mic2", emb, feats, "p228", emb)
+    assert _src_speaker(legacy) == "p225"
+    plain = ConversionSpec(0, "p225_003", emb, feats, "p228", emb)
+    assert _src_speaker(plain) == "p225"

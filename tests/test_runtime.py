@@ -95,3 +95,16 @@ def test_tsan_stress_harness_clean(reference_dir, tmp_path):
     assert run.returncode == 0, run.stderr[-500:]
     assert "OK" in run.stdout
     assert "WARNING: ThreadSanitizer" not in run.stderr
+
+
+def test_load_npy_rejects_extra_dims(tmp_path):
+    """A >=3-D .npy must come back id=-1, not a silently truncated 2-D view
+    of the first rows*cols floats (loader.cc shape parser reads 2 dims)."""
+    p2 = tmp_path / "ok2d.npy"
+    p3 = tmp_path / "bad3d.npy"
+    np.save(p2, np.random.rand(7, 8).astype(np.float32))
+    np.save(p3, np.random.rand(4, 5, 6).astype(np.float32))
+    store = FeatureStore()
+    ids = store.load_npy_batch([str(p2), str(p3)])
+    assert ids[0] >= 0 and store.view(int(ids[0])).shape == (7, 8)
+    assert ids[1] == -1
