@@ -85,26 +85,36 @@ def extract_all(
                 # skip the excluded microphone (make_spect.py:70)
                 continue
             x, _ = read_wav(os.path.join(wav_dir, speaker, fname), audio.sample_rate)
-            y = scipy.signal.filtfilt(b, a, x.astype(np.float64))
-            wav = y * 0.96 + (prng.rand(y.shape[0]) - 0.5) * 1e-6
+            noise = (prng.rand(x.shape[0]) - 0.5) * 1e-6
 
             if use_device:
-                s = np.asarray(fe.extract(model_type, jnp.asarray(wav, jnp.float32)))
-            elif model_type == "spmel":
-                d = _host_stft_mag(wav, audio.n_fft, audio.hop_length)
-                m = d @ mel_basis
-                db = 20 * np.log10(np.maximum(min_level, m)) - audio.ref_level_db
-                s = np.clip((db + 100) / 100, 0, 1)
-            elif model_type == "stft":
-                d = _host_stft_mag(wav, audio.n_fft, audio.hop_length)
-                db = 20 * np.log10(np.maximum(min_level, d)) - audio.ref_level_db
-                s = np.clip((db + 100) / 100, 0, 1)
-            elif model_type == "wav":
-                med = np.median(wav)
-                lo, hi = np.percentile(wav, audio.robust_quantile_range)
-                s = ((wav - med) / (hi - lo)).reshape(-1, 1)
+                # the frontend owns the whole chain (highpass -> *0.96 +
+                # dither -> features); hand it the RAW wav + host dither
+                # stream — pre-filtering here would apply the highpass twice
+                s = np.asarray(
+                    fe.extract(
+                        model_type, jnp.asarray(x, jnp.float32),
+                        noise=jnp.asarray(noise, jnp.float32),
+                    )
+                )
             else:
-                raise ValueError(f"unknown model_type {model_type!r}")
+                # host chain (make_spect.py:74-76): highpass -> *0.96 + dither
+                wav = scipy.signal.filtfilt(b, a, x.astype(np.float64)) * 0.96 + noise
+                if model_type == "spmel":
+                    d = _host_stft_mag(wav, audio.n_fft, audio.hop_length)
+                    m = d @ mel_basis
+                    db = 20 * np.log10(np.maximum(min_level, m)) - audio.ref_level_db
+                    s = np.clip((db + 100) / 100, 0, 1)
+                elif model_type == "stft":
+                    d = _host_stft_mag(wav, audio.n_fft, audio.hop_length)
+                    db = 20 * np.log10(np.maximum(min_level, d)) - audio.ref_level_db
+                    s = np.clip((db + 100) / 100, 0, 1)
+                elif model_type == "wav":
+                    med = np.median(wav)
+                    lo, hi = np.percentile(wav, audio.robust_quantile_range)
+                    s = ((wav - med) / (hi - lo)).reshape(-1, 1)
+                else:
+                    raise ValueError(f"unknown model_type {model_type!r}")
 
             out = os.path.join(save_dir, speaker, fname[: fname.rfind(".")] + ".npy")
             np.save(out, np.asarray(s, np.float32), allow_pickle=False)

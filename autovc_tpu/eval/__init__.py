@@ -48,17 +48,18 @@ class SpeakerEmbedder:
         # accepts either a GE2ETrainer checkpoint tree ({'dvector', 'w', 'b'})
         # or bare DVector params
         self.params = params.get("dvector", params)
-        # infer cell/emb dims from the checkpoint itself (the embedding
-        # Dense kernel is (dim_cell, dim_emb)) so differently-sized
-        # encoders — e.g. an independent judge — work without flags
-        try:
-            k = self.params["embedding"]["kernel"]
-            dim_cell = dim_cell or int(k.shape[0])
-            dim_emb = dim_emb or int(k.shape[1])
-        except (KeyError, TypeError):
-            dim_cell = dim_cell or 768
-            dim_emb = dim_emb or 256
-        self.model = DVector(dim_input=dim_input, dim_cell=dim_cell, dim_emb=dim_emb)
+        # size the module to the checkpoint (shared with the training-side
+        # SpeakerAux) so differently-sized encoders — e.g. an independent
+        # judge — work without flags; explicit args override
+        from autovc_tpu.models.dvector import dvector_for_params
+
+        inferred = dvector_for_params(self.params)
+        self.model = DVector(
+            dim_input=dim_input,
+            dim_cell=dim_cell or inferred.dim_cell,
+            dim_emb=dim_emb or inferred.dim_emb,
+            num_layers=inferred.num_layers,
+        )
         self.len_crop = len_crop
         self.stride = stride
         self._apply = jax.jit(lambda p, x: self.model.apply({"params": p}, x))
@@ -186,9 +187,18 @@ def verification_eer(
     cum_diff = np.cumsum(~same_s)
     far = cum_diff / n_diff
     frr = (n_same - cum_same) / n_same
-    k = int(np.argmin(np.abs(far - frr)))
-    eer = float((far[k] + frr[k]) / 2.0)
-    return eer, float(scores_s[k])
+    # far rises and frr falls as the threshold sweeps down; interpolate
+    # linearly between the two straddling accept-counts (matters on small
+    # trial sets where FAR/FRR move in 1/n_pairs steps)
+    d = far - frr
+    k = int(np.argmax(d >= 0))  # first crossing
+    if k == 0 or d[k] == d[k - 1]:
+        eer, thr = (far[k] + frr[k]) / 2.0, scores_s[k]
+    else:
+        a = -d[k - 1] / (d[k] - d[k - 1])
+        eer = far[k - 1] + a * (far[k] - far[k - 1])
+        thr = scores_s[k - 1] + a * (scores_s[k] - scores_s[k - 1])
+    return float(eer), float(thr)
 
 
 def embedding_separation(

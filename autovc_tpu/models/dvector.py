@@ -30,3 +30,26 @@ class DVector(nn.Module):
         h = LSTM(self.dim_cell, num_layers=self.num_layers, dtype=self.dtype, name="lstm")(x)
         e = nn.Dense(self.dim_emb, dtype=self.dtype, name="embedding")(h[:, -1, :])
         return e / jnp.linalg.norm(e, axis=-1, keepdims=True)
+
+
+def dvector_for_params(params: dict) -> DVector:
+    """A DVector module sized to a checkpoint's parameter tree.
+
+    The embedding Dense kernel is (dim_cell, dim_emb), the layer-0 LSTM
+    input kernel is (dim_input, 4*dim_cell), and layers are counted from the
+    w_ih_l{k}_fwd entries — so differently-sized encoders (e.g. the
+    dim_cell=256 independent judge) work without flags. Falls back to the
+    reference defaults (model_bl.py:42: 80/768/256 x3) if the tree doesn't
+    match."""
+    p = params.get("dvector", params)
+    try:
+        k = p["embedding"]["kernel"]
+        lstm = p["lstm"]
+        return DVector(
+            dim_input=int(lstm["w_ih_l0_fwd"].shape[0]),
+            dim_cell=int(k.shape[0]),
+            dim_emb=int(k.shape[1]),
+            num_layers=sum(1 for n in lstm if n.startswith("w_ih_l")),
+        )
+    except (KeyError, TypeError):
+        return DVector()

@@ -176,7 +176,7 @@ class Solver:
             load_speaker_mels,
             speaker_centroids,
         )
-        from autovc_tpu.models.dvector import DVector
+        from autovc_tpu.models.dvector import dvector_for_params
         from autovc_tpu.train.step import SpeakerAux
 
         mel_dir = os.path.join(self.cfg.main_dir, "spmel")
@@ -191,7 +191,10 @@ class Solver:
             f"{len(entries)} speakers (margin {self.cfg.train.spk_margin})"
         )
         return SpeakerAux(
-            DVector(),
+            # sized to the checkpoint (like SpeakerEmbedder): a DVector() at
+            # default dims would ScopeParamShapeError on e.g. a dim_cell=256
+            # encoder the first train step
+            dvector_for_params(dvec_params),
             dvec_params,
             emb_table=jnp.asarray(table),
             centroids=jnp.asarray(
@@ -208,7 +211,7 @@ class Solver:
         spk = None
         if self.cfg.train.lambda_spk > 0:
             assert self.cfg.train.spk_ckpt, "lambda_spk > 0 requires spk_ckpt"
-            from autovc_tpu.models.dvector import DVector
+            from autovc_tpu.models.dvector import dvector_for_params
             from autovc_tpu.train.ge2e import GE2ETrainer
 
             dvec_params = GE2ETrainer.load_params(self.cfg.train.spk_ckpt)
@@ -218,7 +221,7 @@ class Solver:
             else:
                 from autovc_tpu.train.step import SpeakerAux
 
-                spk = SpeakerAux(DVector(), dvec_params)
+                spk = SpeakerAux(dvector_for_params(dvec_params), dvec_params)
             print(
                 f"[solver] speaker-consistency aux on "
                 f"(lambda_spk={self.cfg.train.lambda_spk}, "
@@ -232,7 +235,6 @@ class Solver:
         spk = self._build_spk_aux()
         raw = make_train_step(self.model, self.cfg, self.optimizer, spk=spk)
         bsh = batch_sharding(self.mesh)
-        rep = replicated(self.mesh)
         return jax.jit(
             raw,
             in_shardings=(None, bsh, bsh, None),
@@ -264,7 +266,8 @@ class Solver:
 
         # failure handling (SURVEY §5.3): save a checkpoint on SIGTERM/SIGINT
         # (preemption-safe), retry transient data errors, halt on non-finite
-        # loss with an emergency checkpoint instead of training into NaNs.
+        # loss WITHOUT checkpointing — the params already absorbed the bad
+        # update, so resume points at the last good periodic checkpoint.
         import signal
 
         stop_requested = {"flag": False}
@@ -285,77 +288,97 @@ class Solver:
         m = None
         self.history: list[dict] = []
         data_failures = 0
-        while i < num_iters:
-            if stop_requested["flag"]:
-                print(f"[solver] termination requested at step {i}; checkpointing")
-                self.save(i, wait=True)
-                break
-            try:
-                x, emb = next(data_iter)
-                data_failures = 0
-            except StopIteration:
-                raise
-            except Exception as exc:  # transient data error: retry, bounded
-                data_failures += 1
-                if data_failures > 3:
+        try:
+            while i < num_iters:
+                if stop_requested["flag"]:
+                    # same finite gate as periodic saves: a SIGTERM that lands
+                    # after a NaN step must not overwrite the last good
+                    # checkpoint with poisoned params
+                    if m is not None and not np.isfinite(float(m["g_loss"])):
+                        latest = self.ckptr.latest_step()
+                        print(
+                            f"[solver] termination at step {i} with non-finite "
+                            f"loss; NOT checkpointing (last good: {latest})"
+                        )
+                    else:
+                        print(f"[solver] termination requested at step {i}; checkpointing")
+                        self.save(i, wait=True)
+                    break
+                try:
+                    x, emb = next(data_iter)
+                    data_failures = 0
+                except StopIteration:
                     raise
-                print(f"[solver] data error ({exc}); retry {data_failures}/3")
-                continue
-            if prefetcher is None:  # prefetcher already sharded the batch
-                x = put_global_batch(jnp.asarray(x), bsh)
-                emb = put_global_batch(jnp.asarray(emb), bsh)
-            self.state, m = self._step_fn(self.state, x, emb, lr_scale)
-            i += 1
+                except Exception as exc:  # transient data error: retry, bounded
+                    data_failures += 1
+                    if data_failures > 3:
+                        raise
+                    print(f"[solver] data error ({exc}); retry {data_failures}/3")
+                    continue
+                if prefetcher is None:  # prefetcher already sharded the batch
+                    x = put_global_batch(jnp.asarray(x), bsh)
+                    emb = put_global_batch(jnp.asarray(emb), bsh)
+                self.state, m = self._step_fn(self.state, x, emb, lr_scale)
+                i += 1
 
-            # host syncs (loss fetch) only at log_step boundaries so the
-            # dispatch pipeline stays async between them; the plateau
-            # controller's patience granularity becomes log_step
-            if i % cfg.train.log_step == 0:
-                loss_val = float(m["g_loss"])
-                if not np.isfinite(loss_val):
-                    # do NOT checkpoint — the params already absorbed the
-                    # non-finite update; the latest PERIODIC checkpoint is
-                    # the last good state to resume from
-                    latest = self.ckptr.latest_step()
-                    raise FloatingPointError(
-                        f"non-finite loss at step {i}; resume from the last "
-                        f"good checkpoint (step {latest})"
-                    )
-                if self.plateau is not None:
-                    lr_scale = jnp.asarray(self.plateau.step(loss_val), jnp.float32)
+                # host syncs (loss fetch) only at log_step boundaries so the
+                # dispatch pipeline stays async between them; the plateau
+                # controller's patience granularity becomes log_step
+                if i % cfg.train.log_step == 0:
+                    loss_val = float(m["g_loss"])
+                    if not np.isfinite(loss_val):
+                        # do NOT checkpoint — the params already absorbed the
+                        # non-finite update; the latest PERIODIC checkpoint is
+                        # the last good state to resume from
+                        latest = self.ckptr.latest_step()
+                        raise FloatingPointError(
+                            f"non-finite loss at step {i}; resume from the last "
+                            f"good checkpoint (step {latest})"
+                        )
+                    if self.plateau is not None:
+                        lr_scale = jnp.asarray(self.plateau.step(loss_val), jnp.float32)
+                    last_metrics = {k: float(v) for k, v in m.items()}
+                    self.history.append(dict(last_metrics, step=i))
+                    self.metrics.log(i, last_metrics)
+                    self.metrics.console(i, num_iters, last_metrics, keys=log_keys)
+                    if (
+                        cfg.train.log_spectrograms
+                        and cfg.model.model_type != "wav"
+                        and jax.process_count() == 1
+                        # multi-process: x is a global array whose shards live
+                        # on other hosts — x[0]/np.asarray would raise; figure
+                        # logging is a single-host convenience
+                    ):
+                        recon = self._recon(x, emb)
+                        self.metrics.log_spectrogram_pair(i, x[0], recon[0])
+                if cfg.train.watch_step and i % cfg.train.watch_step == 0:
+                    # wandb.watch equivalent (solver_encoder.py:203): param/grad
+                    # histograms, built on device (train/watch.py)
+                    if self._watch_fn is None:
+                        from autovc_tpu.train.watch import make_watch_fn
 
-            if i % cfg.train.log_step == 0:
-                last_metrics = {k: float(v) for k, v in m.items()}
-                self.history.append(dict(last_metrics, step=i))
-                self.metrics.log(i, last_metrics)
-                self.metrics.console(i, num_iters, last_metrics, keys=log_keys)
-                if cfg.train.log_spectrograms and cfg.model.model_type != "wav":
-                    recon = self._recon(x, emb)
-                    self.metrics.log_spectrogram_pair(i, x[0], recon[0])
-            if cfg.train.watch_step and i % cfg.train.watch_step == 0:
-                # wandb.watch equivalent (solver_encoder.py:203): param/grad
-                # histograms, built on device (train/watch.py)
-                if self._watch_fn is None:
-                    from autovc_tpu.train.watch import make_watch_fn
-
-                    self._watch_fn = make_watch_fn(
-                        self.model, cfg, spk=self._build_spk_aux()
-                    )
-                self.metrics.log_histograms(i, self._watch_fn(self.state, x, emb))
-            if i % cfg.train.checkpoint_step == 0:
-                # never persist a non-finite state (would poison auto-resume)
-                if np.isfinite(float(m["g_loss"])):
-                    self.save(i)
-                else:
-                    latest = self.ckptr.latest_step()
-                    raise FloatingPointError(
-                        f"non-finite loss at checkpoint step {i}; last good "
-                        f"checkpoint is step {latest}"
-                    )
-        if prefetcher is not None:
-            prefetcher.close()
-        for sig, h in old_handlers.items():
-            signal.signal(sig, h)
+                        self._watch_fn = make_watch_fn(
+                            self.model, cfg, spk=self._build_spk_aux()
+                        )
+                    self.metrics.log_histograms(i, self._watch_fn(self.state, x, emb))
+                if i % cfg.train.checkpoint_step == 0:
+                    # never persist a non-finite state (would poison auto-resume)
+                    if np.isfinite(float(m["g_loss"])):
+                        self.save(i)
+                    else:
+                        latest = self.ckptr.latest_step()
+                        raise FloatingPointError(
+                            f"non-finite loss at checkpoint step {i}; last good "
+                            f"checkpoint is step {latest}"
+                        )
+        finally:
+            # runs on ANY exit (FloatingPointError, save re-raise, data
+            # exhaustion): stop the prefetcher thread and restore the
+            # process signal handlers so a long-lived caller keeps Ctrl-C
+            if prefetcher is not None:
+                prefetcher.close()
+            for sig, h in old_handlers.items():
+                signal.signal(sig, h)
         # checkpoint-boundary saves skipped because the previous one was
         # still in flight must not leave the END of the run unpersisted:
         # if the last boundary crossed has no save at-or-after it, persist

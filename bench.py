@@ -54,7 +54,10 @@ def main():
         entries = load_train_manifest("/root/reference/spmel/train.pkl")
         emb = {e.speaker_id: e.embedding for e in entries}
         emb_src, emb_trg = emb["p225"], emb["p228"]
-    except (FileNotFoundError, OSError) as exc:
+    except Exception as exc:
+        # ANY corpus problem (missing file, speakers absent from a rebuilt
+        # train.pkl, pickle drift) must fall back, not crash: the driver
+        # contract is one JSON line on stdout no matter what
         log(f"reference corpus unavailable ({exc}); using synthetic inputs")
         rng = np.random.RandomState(0)
         feats = rng.rand(376, 80).astype(np.float32)

@@ -186,3 +186,28 @@ def test_src_speaker_prefers_explicit_field_and_handles_mic_suffix():
     assert _src_speaker(legacy) == "p225"
     plain = ConversionSpec(0, "p225_003", emb, feats, "p228", emb)
     assert _src_speaker(plain) == "p225"
+
+
+def test_dvector_for_params_infers_dims():
+    import jax
+
+    from autovc_tpu.models.dvector import DVector, dvector_for_params
+
+    small = DVector(dim_input=80, dim_cell=64, dim_emb=32, num_layers=2)
+    params = small.init(jax.random.PRNGKey(0), np.zeros((1, 16, 80), np.float32))["params"]
+    m = dvector_for_params(params)
+    assert (m.dim_input, m.dim_cell, m.dim_emb, m.num_layers) == (80, 64, 32, 2)
+    # unknown tree -> reference defaults
+    d = dvector_for_params({"not": "a dvector"})
+    assert (d.dim_cell, d.dim_emb, d.num_layers) == (768, 256, 3)
+
+
+def test_verification_eer_interpolates_between_steps():
+    # construct scores where FAR/FRR cross between two thresholds: the
+    # interpolated EER must lie strictly between the two step values
+    emb = np.array([[1.0, 0.0], [0.99, 0.14], [0.9, 0.43], [0.0, 1.0],
+                    [0.14, 0.99], [0.43, 0.9]], np.float64)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    labels = np.array([0, 0, 0, 1, 1, 1])
+    eer, thr = verification_eer(emb, labels)
+    assert 0.0 <= eer <= 1.0 and np.isfinite(thr)
