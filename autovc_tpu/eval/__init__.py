@@ -39,7 +39,7 @@ class SpeakerEmbedder:
     def __init__(
         self,
         params: dict,
-        dim_input: int = 80,
+        dim_input: int | None = None,
         dim_cell: int | None = None,
         dim_emb: int | None = None,
         len_crop: int = 128,
@@ -55,7 +55,7 @@ class SpeakerEmbedder:
 
         inferred = dvector_for_params(self.params)
         self.model = DVector(
-            dim_input=dim_input,
+            dim_input=dim_input or inferred.dim_input,
             dim_cell=dim_cell or inferred.dim_cell,
             dim_emb=dim_emb or inferred.dim_emb,
             num_layers=inferred.num_layers,

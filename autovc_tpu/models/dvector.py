@@ -51,5 +51,7 @@ def dvector_for_params(params: dict) -> DVector:
             dim_emb=int(k.shape[1]),
             num_layers=sum(1 for n in lstm if n.startswith("w_ih_l")),
         )
-    except (KeyError, TypeError):
+    except (KeyError, TypeError, AttributeError):
+        # malformed trees (missing keys, non-array leaves) degrade to the
+        # reference defaults rather than raising
         return DVector()

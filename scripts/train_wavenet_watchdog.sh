@@ -34,9 +34,14 @@ BATCH=${6:-8}
 MAX_TIME=${7:-7936}
 shift 7 2>/dev/null || shift $#
 
+PYTHON=${PYTHON:-python3}
+
 persisted() {
-  # cumulative optimizer count in a train-state sibling (0 if absent)
-  python - "$1" <<'EOF'
+  # cumulative optimizer count in a train-state sibling (0 if absent).
+  # Uses the same interpreter as the trainer; a read error must abort the
+  # watchdog rather than let an empty value reach the shell arithmetic.
+  local n
+  n=$("$PYTHON" - "$1" <<'EOF'
 import sys, numpy as np, os
 p = sys.argv[1]
 if not os.path.exists(p):
@@ -46,6 +51,9 @@ else:
     # cumulative optimizer count (WaveNetTrainer.save_train_state metadata)
     print(int(z["meta_count"]) if "meta_count" in z else 0)
 EOF
+  ) || { echo "[watchdog] FATAL: could not read train-state metadata from $1" >&2; exit 1; }
+  case "$n" in ''|*[!0-9]*) echo "[watchdog] FATAL: bad count '$n' from $1" >&2; exit 1;; esac
+  echo "$n"
 }
 
 BASE=$(persisted "$INIT.train_state.npz")
@@ -72,7 +80,7 @@ while :; do
     init="$INIT"
   fi
   echo "[watchdog] attempt $attempt: init=$init remaining=$remaining ($(date -u +%H:%M:%S))"
-  nice -n -5 python -m autovc_tpu.cli.train_vocoder \
+  nice -n -5 "$PYTHON" -m autovc_tpu.cli.train_vocoder \
     --main_dir _data --vocoder wavenet \
     --batch_size "$BATCH" --max_time "$MAX_TIME" \
     --init "$init" --init_step "$INIT_STEP" \
