@@ -7,7 +7,10 @@ filtfilt in float64 + per-speaker-seeded dither + float64 STFT/mel on CPU.
 bucketing (throughput mode).
 
 Usage: python -m autovc_tpu.cli.make_spect --main_dir DIR [--wav_dir DIR]
-           [--model_type spmel|stft|wav] [--mic mic1] [--device]
+           [--model_type spmel|stft|wav|legacy] [--mic mic1] [--device]
+
+'legacy' is the old-code 512-pt/257-bin magnitude pipeline
+("old code/make_spect_old.py").
 """
 
 from __future__ import annotations
@@ -105,8 +108,11 @@ def extract_all(
                     m = d @ mel_basis
                     db = 20 * np.log10(np.maximum(min_level, m)) - audio.ref_level_db
                     s = np.clip((db + 100) / 100, 0, 1)
-                elif model_type == "stft":
-                    d = _host_stft_mag(wav, audio.n_fft, audio.hop_length)
+                elif model_type in ("stft", "legacy"):
+                    # 'legacy' is the 512-pt/257-bin old-code pipeline
+                    # ("old code/make_spect_old.py":19), same dB chain
+                    n_fft = audio.n_fft if model_type == "stft" else audio.legacy_n_fft
+                    d = _host_stft_mag(wav, n_fft, audio.hop_length)
                     db = 20 * np.log10(np.maximum(min_level, d)) - audio.ref_level_db
                     s = np.clip((db + 100) / 100, 0, 1)
                 elif model_type == "wav":
@@ -130,7 +136,9 @@ def main(argv=None):
     add_platform_arg(ap)
     ap.add_argument("--main_dir", required=True)
     ap.add_argument("--wav_dir", default=None)
-    ap.add_argument("--model_type", default="spmel", choices=["spmel", "stft", "wav"])
+    ap.add_argument(
+        "--model_type", default="spmel", choices=["spmel", "stft", "wav", "legacy"]
+    )
     ap.add_argument("--mic", default="mic1", help="microphone substring to EXCLUDE")
     ap.add_argument("--device", action="store_true", help="float32 accelerator path")
     args = ap.parse_args(argv)

@@ -37,10 +37,18 @@ class AudioConfig:
     dither_amp: float = 1e-6
     # RobustScaler quantile range for the raw-waveform variant (make_spect.py:88)
     robust_quantile_range: tuple[float, float] = (5.0, 95.0)
+    # the legacy 512-pt pipeline ("old code/make_spect_old.py":19 pySTFT
+    # fft_length=int(1024*0.5)) -> 257-bin magnitude features, pinned against
+    # the bundled test_data/STFT goldens
+    legacy_n_fft: int = 512
 
     @property
     def n_stft_bins(self) -> int:
         return self.n_fft // 2 + 1  # 513
+
+    @property
+    def n_legacy_bins(self) -> int:
+        return self.legacy_n_fft // 2 + 1  # 257
 
 
 @dataclass(frozen=True)

@@ -123,6 +123,15 @@ class MelFrontend:
         mag = stft_magnitude(w, self.audio.n_fft, self.audio.hop_length)
         return normalize_db(mag, self.audio.ref_level_db, self.audio.min_level_db)
 
+    def legacy_stft_features(self, wav: jax.Array, noise: jax.Array | None = None) -> jax.Array:
+        """wav (..., L) -> normalized |STFT| (..., T, 257) — the legacy 512-pt
+        variant ("old code/make_spect_old.py":19-66: pySTFT fft_length=512,
+        same highpass/dither/dB chain). Pinned against the bundled
+        test_data/STFT goldens in tests/test_dsp.py."""
+        w = self.highpass_dither(wav, noise)
+        mag = stft_magnitude(w, self.audio.legacy_n_fft, self.audio.hop_length)
+        return normalize_db(mag, self.audio.ref_level_db, self.audio.min_level_db)
+
     def wav_features(self, wav: jax.Array, noise: jax.Array | None = None) -> jax.Array:
         """wav (..., L) -> robust-scaled waveform (..., L, 1) — the 'wav' variant."""
         w = self.highpass_dither(wav, noise)
@@ -135,4 +144,6 @@ class MelFrontend:
             return self.stft_features(wav, noise)
         if model_type == "wav":
             return self.wav_features(wav, noise)
+        if model_type == "legacy":
+            return self.legacy_stft_features(wav, noise)
         raise ValueError(f"unknown model_type {model_type!r}")

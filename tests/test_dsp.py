@@ -159,6 +159,45 @@ def test_golden_mel_parity(reference_dir, speaker, utt):
     assert err < 1e-5, f"golden mel mismatch: max abs err {err}"
 
 
+@pytest.mark.parametrize("utt", ["p001_003", "p001_005"])
+def test_golden_legacy_stft_parity(reference_dir, utt):
+    """Legacy 512-pt/257-bin pipeline vs bundled test_data/STFT goldens
+    ("old code/make_spect_old.py":19-66).
+
+    The goldens were minted from a corpus superset whose per-speaker dither
+    stream position for these files is unknowable (the RandomState(1) stream
+    advances per processed file), so near-silent bins — where a 1e-6 dither
+    moves the log-magnitude — cannot match exactly. The gate is tiered:
+    loud/mid bins are pinned tight, the global error budget bounds the
+    dither-sensitive tail, and the mean catches any systematic chain drift
+    (measured: mean 8.6e-8, only 0.002% of cells above 1e-4).
+    """
+    wav_dir = os.path.join(reference_dir, "wavs", "p001")
+    files = sorted(os.listdir(wav_dir))
+    n_prior = 0
+    for f in files:
+        if f == utt + ".wav":
+            break
+        x, _ = read_wav(os.path.join(wav_dir, f))
+        n_prior += x.shape[0]
+    else:
+        pytest.fail(f"{utt}.wav not found")
+
+    x, sr = read_wav(os.path.join(wav_dir, utt + ".wav"))
+    assert sr == 16000
+    noise = dither_reference(x.shape[0], 1, n_prior)
+    with enable_x64():
+        fe = MelFrontend(AudioConfig(), dtype=jnp.float64)
+        ours = np.asarray(fe.legacy_stft_features(jnp.asarray(x, jnp.float64), noise))
+
+    golden = np.load(os.path.join(reference_dir, "test_data", "STFT", utt + ".npy"))
+    assert ours.shape == golden.shape == (golden.shape[0], 257)
+    err = np.abs(ours.astype(np.float32) - golden)
+    assert err.mean() < 1e-6, f"systematic drift: mean err {err.mean()}"
+    assert err[golden > 0.4].max() < 2e-4, "non-silent bins must pin tight"
+    assert err.max() < 1e-2, f"even dither-sensitive bins bounded: {err.max()}"
+
+
 def test_float32_extraction_close_to_golden(reference_dir):
     """The production float32 device path stays within loose tolerance."""
     x, _ = read_wav(os.path.join(reference_dir, "wavs", "p225", "p225_003.wav"))
