@@ -159,6 +159,61 @@ def test_golden_mel_parity(reference_dir, speaker, utt):
     assert err < 1e-5, f"golden mel mismatch: max abs err {err}"
 
 
+@pytest.mark.parametrize("utt", ["p001_003", "p225_003", "p228_003"])
+def test_golden_stft_parity(reference_dir, utt):
+    """513-bin stft-variant parity vs goldens minted from the reference's own
+    pySTFT/dB chain (scripts/mint_stft_goldens.py; make_spect.py:86-88).
+
+    Two gates:
+    - stage isolation: our STFT+dB on the golden's OWN stored filtered
+      waveform must match the reference's pySTFT+dB to float32 exactness —
+      this pins the branch-specific code tight;
+    - full chain: two independent order-5 IIR filtfilt implementations
+      drift ~1e-7 over a 100k-sample recurrence (poles near z=1 at a 30 Hz
+      highpass), which 20*log10 amplifies in near-silent bins, so the
+      end-to-end gate is tiered like the legacy-golden test (measured loud
+      bins <=8e-4, mean ~1e-6).
+
+    The reference saves this variant UNTRANSPOSED — (513, T), unlike
+    spmel's (T, 80) — so goldens are compared against our time-major
+    output's transpose."""
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "goldens", "stft_ref", utt + ".npz"
+    )
+    z = np.load(golden_path)
+    golden, golden_iso, wav = z["stft"], z["stft_iso"], z["wav"]
+
+    with enable_x64():
+        # stage isolation: identical input waveform
+        mag = stft_magnitude(jnp.asarray(wav, jnp.float64), 1024, 256)
+        iso = np.asarray(normalize_db(mag, 16.0, -100.0)).astype(np.float32)
+        assert golden_iso.shape == (513, iso.shape[0])
+        iso_err = np.abs(iso - golden_iso.T).max()
+        assert iso_err < 1e-6, f"STFT+dB stage mismatch: {iso_err}"
+
+        # full chain from the raw wav (our filter + dither accounting)
+        speaker = utt.split("_")[0]
+        wav_dir = os.path.join(reference_dir, "wavs", speaker)
+        n_prior = 0
+        for f in sorted(os.listdir(wav_dir)):
+            if f == utt + ".wav":
+                break
+            x, _ = read_wav(os.path.join(wav_dir, f))
+            n_prior += x.shape[0]
+        else:
+            pytest.fail(f"{utt}.wav not found")
+        x, sr = read_wav(os.path.join(wav_dir, utt + ".wav"))
+        assert sr == 16000
+        noise = dither_reference(x.shape[0], int(speaker[1:]), n_prior)
+        fe = MelFrontend(AudioConfig(), dtype=jnp.float64)
+        ours = np.asarray(fe.stft_features(jnp.asarray(x, jnp.float64), noise))
+
+    err = np.abs(ours.astype(np.float32) - golden.T)
+    assert err.mean() < 5e-6, f"systematic drift: mean err {err.mean()}"
+    assert err[golden.T > 0.4].max() < 2e-3, "non-silent bins must pin tight"
+    assert err.max() < 5e-2, f"even near-silent bins bounded: {err.max()}"
+
+
 @pytest.mark.parametrize("utt", ["p001_003", "p001_005"])
 def test_golden_legacy_stft_parity(reference_dir, utt):
     """Legacy 512-pt/257-bin pipeline vs bundled test_data/STFT goldens
