@@ -23,6 +23,18 @@ sample_from_mol_uniforms), making the two engines directly comparable.
 
 VMEM budget (B=8, bf16): w3 block 1.5MB x2 (pipeline) + wout/wskip/wcond
 ~0.9MB x2 + ring buffers 4.1MB + accumulators < 16MB/core.
+
+Large batches (B=32) exceed VMEM with all rings resident (504 slots x B x
+512ch). hbm_threshold splits the rings by dilation: layers with d <
+threshold keep VMEM rings (at threshold 16 that is 120 of 504 slots — the
+cheap 24%), layers with d >= threshold move their rings to HBM with
+double-buffered async DMA. The schedule is hazard-free by construction:
+a slot read for sample t was written at sample t-d or t-2d, i.e. >= 15
+samples (~360 grid steps) earlier, so reads for sample t+1 prefetch during
+sample t's first grid step and writes drain with multi-sample slack. Extra
+HBM traffic is 3 x B x R bytes per hbm-layer per sample (~0.8 MB/sample at
+B=32) against ~50 MB/sample of weight streaming — noise. The ring lives in
+an input/output-aliased HBM buffer.
 """
 
 from __future__ import annotations
@@ -129,6 +141,171 @@ def _wavenet_kernel(
         xprev_s[0] = x_t
 
 
+def _wavenet_kernel_hybrid(
+    dil_s, off_s,  # SMEM (L,) int32 — VMEM-ring tables (1/0 for HBM layers)
+    hbm_idx_s,     # SMEM (L,) int32 — index into the hbm tables, -1 if VMEM
+    hbm_dil_s, hbm_off_s,  # SMEM (n_hbm,) int32
+    w3_ref, wcond_ref, wout_ref, wskip_ref, bg_ref, bo_ref, bs_ref,
+    fk_ref, fb_ref, l1k_ref, l1b_ref, l2k_ref, l2b_ref,
+    cond_ref, unif_ref,
+    ring_in,       # ANY/HBM (hbm_slots, BP, R) — aliased with ring_out
+    y_ref, ring_out,
+    rbuf, xprev_s, h_s, skip_s,
+    rd_stage, wr_stage, rd_sem, wr_sem,
+    *, n_layers, g2, log_scale_min, n_hbm,
+):
+    """Hybrid-ring variant: small-dilation rings in VMEM (as in
+    _wavenet_kernel), large-dilation rings in HBM with double-buffered DMA.
+
+    Staging layout (bank = sample parity):
+      rd_stage[(bank*n_hbm + j)*2 + k]: k=0 -> x[t-2d], k=1 -> x[t-d]
+      wr_stage[bank*n_hbm + j]:         layer j's input h, en route to HBM
+    Reads for sample u prefetch at grid step (u-1, 0) (u=0 bootstraps at
+    (0,0)); they target data written >= threshold-1 samples earlier, so no
+    read-after-write hazard exists by construction. A write issued at
+    sample t is semaphore-waited at sample t+2 before its staging slot is
+    reused — its HBM slot is next read >= threshold samples later.
+    """
+    t = pl.program_id(0)
+    l = pl.program_id(1)
+    num_t = pl.num_programs(0)
+
+    @pl.when(jnp.logical_and(t == 0, l == 0))
+    def _init():
+        rbuf[:] = jnp.zeros_like(rbuf)
+        xprev_s[:] = jnp.zeros_like(xprev_s)
+
+    def _read_copy(u, j, k, d, off):
+        """Async copy of h[u - (2-k)*d] (k=0 -> 2d, k=1 -> d) for hbm layer j.
+
+        Source is ring_out, not ring_in: they alias the same HBM buffer on
+        TPU, but interpret mode does not connect the aliased pair — reading
+        the output ref is correct in both."""
+        slot = off + jax.lax.rem(u + k * d, 2 * d)
+        bank = jax.lax.rem(u, 2)
+        dst = (bank * n_hbm + j) * 2 + k
+        return pltpu.make_async_copy(
+            ring_out.at[pl.ds(slot, 1)], rd_stage.at[pl.ds(dst, 1)], rd_sem.at[dst]
+        )
+
+    def _write_copy(u, j, d, off):
+        slot = off + jax.lax.rem(u, 2 * d)
+        src = jax.lax.rem(u, 2) * n_hbm + j
+        return pltpu.make_async_copy(
+            wr_stage.at[pl.ds(src, 1)], ring_out.at[pl.ds(slot, 1)], wr_sem.at[src]
+        )
+
+    @pl.when(l == 0)
+    def _first_conv():
+        h_s[:] = xprev_s[0][:, None] * fk_ref[0][None, :] + fb_ref[0][None, :]
+        skip_s[:] = jnp.zeros_like(skip_s)
+        # prefetch next sample's HBM-ring reads (and sample 0's at t == 0)
+        for j in range(n_hbm):
+            d_j = hbm_dil_s[j]
+            off_j = hbm_off_s[j]
+
+            @pl.when(t == 0)
+            def _bootstrap(j=j, d_j=d_j, off_j=off_j):
+                for k in range(2):
+                    _read_copy(0, j, k, d_j, off_j).start()
+
+            @pl.when(t + 1 < num_t)
+            def _ahead(j=j, d_j=d_j, off_j=off_j):
+                for k in range(2):
+                    _read_copy(t + 1, j, k, d_j, off_j).start()
+
+    d = dil_s[l]
+    off = off_s[l]
+    slot = jax.lax.rem(t, 2 * d)
+    slot_d = jax.lax.rem(t + d, 2 * d)  # (t - d) mod 2d
+
+    jh = hbm_idx_s[l]
+    is_hbm = jh >= 0
+    jh_safe = jnp.maximum(jh, 0)
+    d_h = hbm_dil_s[jh_safe]
+    off_h = hbm_off_s[jh_safe]
+    bank = jax.lax.rem(t, 2)
+    rd_base = (bank * n_hbm + jh_safe) * 2
+    wr_base = bank * n_hbm + jh_safe
+
+    @pl.when(is_hbm)
+    def _wait_reads():
+        for k in range(2):
+            _read_copy(t, jh_safe, k, d_h, off_h).wait()
+        # staging slot reuse: the write DMA issued two samples ago on this
+        # bank must have drained before we overwrite wr_stage below
+        @pl.when(t >= 2)
+        def _wait_prev_write():
+            _write_copy(t - 2, jh_safe, d_h, off_h).wait()
+
+    dtype = rbuf.dtype
+    x_2d_v = rbuf[pl.ds(off + slot, 1)][0]  # (B, R)
+    x_d_v = rbuf[pl.ds(off + slot_d, 1)][0]
+    x_2d_h = rd_stage[pl.ds(rd_base, 1)][0]
+    x_d_h = rd_stage[pl.ds(rd_base + 1, 1)][0]
+    x_2d = jnp.where(is_hbm, x_2d_h, x_2d_v)
+    x_d = jnp.where(is_hbm, x_d_h, x_d_v)
+    h = h_s[:].astype(dtype)
+
+    x_all = jnp.concatenate([x_2d, x_d, h], axis=-1)  # (B, 3R): [t-2d, t-d, t]
+    gates = (
+        jnp.dot(x_all, w3_ref[0], preferred_element_type=jnp.float32)
+        + jnp.dot(cond_ref[0].astype(dtype), wcond_ref[0], preferred_element_type=jnp.float32)
+        + bg_ref[0, 0][None, :]
+    )  # (B, G) f32
+    z = (jnp.tanh(gates[:, :g2]) * jax.nn.sigmoid(gates[:, g2:])).astype(dtype)
+
+    skip_s[:] = (
+        skip_s[:]
+        + jnp.dot(z, wskip_ref[0], preferred_element_type=jnp.float32)
+        + bs_ref[0, 0][None, :]
+    ) * SQRT_HALF
+
+    # store this layer's INPUT into the slot just consumed (x[t-2d]'s slot)
+    @pl.when(jnp.logical_not(is_hbm))
+    def _store_vmem():
+        rbuf[pl.ds(off + slot, 1)] = h[None]
+
+    @pl.when(is_hbm)
+    def _store_hbm():
+        wr_stage[pl.ds(wr_base, 1)] = h[None]
+        _write_copy(t, jh_safe, d_h, off_h).start()
+
+    h_s[:] = (
+        h_s[:]
+        + jnp.dot(z, wout_ref[0], preferred_element_type=jnp.float32)
+        + bo_ref[0, 0][None, :]
+    ) * SQRT_HALF
+
+    @pl.when(l == n_layers - 1)
+    def _emit():
+        out = jax.nn.relu(skip_s[:])
+        out = jax.nn.relu(
+            jnp.dot(out, l1k_ref[:], preferred_element_type=jnp.float32)
+            + l1b_ref[0][None, :]
+        )
+        logits = (
+            jnp.dot(out, l2k_ref[:], preferred_element_type=jnp.float32)
+            + l2b_ref[0][None, :]
+        )
+        x_t = _sample_mol(logits, unif_ref[0], log_scale_min)
+        y_ref[0, 0] = x_t
+        xprev_s[0] = x_t
+
+        # drain the write DMAs still in flight at the end of the run
+        @pl.when(t == num_t - 1)
+        def _drain():
+            for j in range(n_hbm):
+                d_j = hbm_dil_s[j]
+                off_j = hbm_off_s[j]
+
+                @pl.when(num_t >= 2)
+                def _w2(j=j, d_j=d_j, off_j=off_j):
+                    _write_copy(num_t - 2, j, d_j, off_j).wait()
+
+                _write_copy(num_t - 1, j, d_j, off_j).wait()
+
+
 def pack_weights(params: dict, n_layers: int, dtype=jnp.bfloat16) -> dict:
     """Stack per-layer weights into grid-streamable (L, ...) arrays."""
     lp = [params["layers"][str(i)] for i in range(n_layers)]
@@ -159,7 +336,8 @@ def pack_weights(params: dict, n_layers: int, dtype=jnp.bfloat16) -> dict:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dilations", "log_scale_min", "interpret")
+    jax.jit,
+    static_argnames=("dilations", "log_scale_min", "interpret", "hbm_threshold"),
 )
 def generate_pallas(
     packed: dict,
@@ -168,8 +346,14 @@ def generate_pallas(
     uniforms: jax.Array,  # (B, T, K+1) float32
     log_scale_min: float = -32.23619130191664,
     interpret: bool = False,
+    hbm_threshold: int | None = None,
 ) -> jax.Array:
-    """Autoregressive generation; returns (B, T) float32 waveform."""
+    """Autoregressive generation; returns (B, T) float32 waveform.
+
+    hbm_threshold: dilations >= this keep their ring buffers in HBM with
+    double-buffered DMA (module docstring), lifting the VMEM batch ceiling
+    (B=32 bf16 fits with threshold 16). None = all rings VMEM-resident.
+    """
     b, t, c = cond.shape
     n_layers = len(dilations)
     r = packed["wout"].shape[-1]
@@ -187,8 +371,41 @@ def generate_pallas(
     bp = b + pad_b
 
     dils = np.asarray(dilations, np.int32)
-    offsets = np.concatenate([[0], np.cumsum(2 * dils)[:-1]]).astype(np.int32)
-    total_slots = int(np.sum(2 * dils))
+
+    hybrid = hbm_threshold is not None and bool(np.any(dils >= hbm_threshold))
+    if hybrid:
+        # The sample-ahead prefetch reads h[u-d] written at grid (u-d, l) and
+        # issues at (u-1, 0); the write's semaphore wait happens at (u-d+2, l),
+        # so completion is only ordered before the read issue when d >= 4
+        # (d < 2 is stale-by-construction, d in {2,3} races the in-flight DMA).
+        assert hbm_threshold >= 4, (
+            f"hbm_threshold must be >= 4 (got {hbm_threshold}): smaller "
+            "dilations violate the hazard-free prefetch schedule"
+        )
+        is_hbm = dils >= hbm_threshold
+        # VMEM-ring tables: hbm layers get (d=1, off=0) placeholders so their
+        # (unused, pl.when-guarded) rbuf indices stay in range
+        vdils = np.where(is_hbm, 1, dils).astype(np.int32)
+        voffsets = np.zeros(n_layers, np.int32)
+        vmem_slots = 0
+        for i in range(n_layers):
+            if not is_hbm[i]:
+                voffsets[i] = vmem_slots
+                vmem_slots += 2 * int(dils[i])
+        vmem_slots = max(vmem_slots, 2)
+        hbm_layers = np.nonzero(is_hbm)[0]
+        n_hbm = len(hbm_layers)
+        hbm_dils = dils[hbm_layers]
+        hbm_offsets = np.concatenate([[0], np.cumsum(2 * hbm_dils)[:-1]]).astype(np.int32)
+        hbm_slots = int(np.sum(2 * hbm_dils))
+        hbm_idx = np.full(n_layers, -1, np.int32)
+        hbm_idx[hbm_layers] = np.arange(n_hbm)
+        dils_arg, offsets_arg = vdils, voffsets
+        total_slots = vmem_slots
+    else:
+        offsets = np.concatenate([[0], np.cumsum(2 * dils)[:-1]]).astype(np.int32)
+        total_slots = int(np.sum(2 * dils))
+        dils_arg, offsets_arg = dils, offsets
 
     cond_t = jnp.swapaxes(cond, 0, 1)          # (T, B, C)
     unif_t = jnp.swapaxes(uniforms, 0, 1)      # (T, B, K+1)
@@ -199,41 +416,74 @@ def generate_pallas(
     const2 = lambda d0, d1: pl.BlockSpec((d0, d1), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
     time2 = lambda d0, d1: pl.BlockSpec((1, d0, d1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
 
-    y = pl.pallas_call(
-        functools.partial(
-            _wavenet_kernel, n_layers=n_layers, g2=g // 2,
-            log_scale_min=log_scale_min,
-        ),
-        grid=(t, n_layers),
-        in_specs=[
-            smem(), smem(),
-            layer2(3 * r, g),                       # w3
-            layer2(c, g),                           # wcond
-            layer2(g // 2, r),                      # wout
-            layer2(g // 2, s),                      # wskip
-            layer1(g), layer1(r), layer1(s),        # bg, bo, bs
-            const2(1, r), const2(1, r),             # fk, fb
-            const2(s, s), const2(1, s),             # last1
-            const2(s, packed["l2k"].shape[-1]), const2(1, packed["l2k"].shape[-1]),
-            time2(bp, c),                           # cond
-            time2(bp, ku),                          # uniforms
-        ],
-        # (T, 1, B) so the (1, 1, B) block's last two dims equal the array's
-        out_specs=pl.BlockSpec((1, 1, bp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, 1, bp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((total_slots, bp, r), dtype),  # dilation ring buffers
-            pltpu.VMEM((1, bp), jnp.float32),         # previous sample
-            pltpu.VMEM((bp, r), jnp.float32),         # residual accumulator
-            pltpu.VMEM((bp, s), jnp.float32),         # skip accumulator
-        ],
-        interpret=interpret,
-    )(
-        jnp.asarray(dils), jnp.asarray(offsets),
+    weight_specs = [
+        layer2(3 * r, g),                       # w3
+        layer2(c, g),                           # wcond
+        layer2(g // 2, r),                      # wout
+        layer2(g // 2, s),                      # wskip
+        layer1(g), layer1(r), layer1(s),        # bg, bo, bs
+        const2(1, r), const2(1, r),             # fk, fb
+        const2(s, s), const2(1, s),             # last1
+        const2(s, packed["l2k"].shape[-1]), const2(1, packed["l2k"].shape[-1]),
+        time2(bp, c),                           # cond
+        time2(bp, ku),                          # uniforms
+    ]
+    weight_args = (
         packed["w3"], packed["wcond"], packed["wout"], packed["wskip"],
         packed["bg"], packed["bo"], packed["bs"],
         packed["fk"], packed["fb"], packed["l1k"], packed["l1b"],
         packed["l2k"], packed["l2b"],
         cond_t, unif_t,
+    )
+    # (T, 1, B) so the (1, 1, B) block's last two dims equal the array's
+    y_spec = pl.BlockSpec((1, 1, bp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    y_shape = jax.ShapeDtypeStruct((t, 1, bp), jnp.float32)
+    base_scratch = [
+        pltpu.VMEM((total_slots, bp, r), dtype),  # dilation ring buffers
+        pltpu.VMEM((1, bp), jnp.float32),         # previous sample
+        pltpu.VMEM((bp, r), jnp.float32),         # residual accumulator
+        pltpu.VMEM((bp, s), jnp.float32),         # skip accumulator
+    ]
+
+    if not hybrid:
+        y = pl.pallas_call(
+            functools.partial(
+                _wavenet_kernel, n_layers=n_layers, g2=g // 2,
+                log_scale_min=log_scale_min,
+            ),
+            grid=(t, n_layers),
+            in_specs=[smem(), smem()] + weight_specs,
+            out_specs=y_spec,
+            out_shape=y_shape,
+            scratch_shapes=base_scratch,
+            interpret=interpret,
+        )(jnp.asarray(dils_arg), jnp.asarray(offsets_arg), *weight_args)
+        return jnp.swapaxes(y[:, 0, :], 0, 1)[:b]
+
+    ring0 = jnp.zeros((hbm_slots, bp, r), dtype)
+    anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
+    y, _ring = pl.pallas_call(
+        functools.partial(
+            _wavenet_kernel_hybrid, n_layers=n_layers, g2=g // 2,
+            log_scale_min=log_scale_min, n_hbm=n_hbm,
+        ),
+        grid=(t, n_layers),
+        in_specs=[smem(), smem(), smem(), smem(), smem()]
+        + weight_specs
+        + [anyspec],
+        out_specs=(y_spec, anyspec),
+        out_shape=(y_shape, jax.ShapeDtypeStruct((hbm_slots, bp, r), dtype)),
+        scratch_shapes=base_scratch + [
+            pltpu.VMEM((4 * n_hbm, bp, r), dtype),   # read staging (2 banks x 2)
+            pltpu.VMEM((2 * n_hbm, bp, r), dtype),   # write staging (2 banks)
+            pltpu.SemaphoreType.DMA((4 * n_hbm,)),
+            pltpu.SemaphoreType.DMA((2 * n_hbm,)),
+        ],
+        input_output_aliases={len(weight_args) + 5: 1},  # ring0 <-> _ring
+        interpret=interpret,
+    )(
+        jnp.asarray(dils_arg), jnp.asarray(offsets_arg), jnp.asarray(hbm_idx),
+        jnp.asarray(hbm_dils.astype(np.int32)), jnp.asarray(hbm_offsets),
+        *weight_args, ring0,
     )
     return jnp.swapaxes(y[:, 0, :], 0, 1)[:b]

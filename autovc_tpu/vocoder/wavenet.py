@@ -370,6 +370,7 @@ class WaveNetVocoder:
         key: jax.Array | None = None,
         dtype=jnp.float32,
         engine: str = "scan",
+        hbm_threshold: int | str | None = "auto",
     ) -> jax.Array:
         """mel (Tc, 80) or (B, Tc, 80) normalized -> waveform (B?, Tc*256),
         mirroring wavegen()'s length contract (synthesis.py:52-55).
@@ -379,6 +380,11 @@ class WaveNetVocoder:
                          (ops/pallas_wavenet.py; best per-utterance latency —
                          pair with dtype=bfloat16 to halve HBM traffic)
         Both consume the SAME uniform stream for a given key.
+
+        hbm_threshold ('auto'|int|None, pallas engine only): dilations >=
+        the threshold keep ring buffers in HBM, lifting the VMEM batch
+        ceiling (B=32). 'auto' picks the smallest threshold whose VMEM
+        rings fit an ~8 MB budget (None when everything fits).
         """
         if key is None:
             key = jax.random.PRNGKey(0)
@@ -402,11 +408,26 @@ class WaveNetVocoder:
                     pack_weights(self.params, self.cfg.layers, dtype=dtype)
                 )
             packed = self._packed[dkey]
+            dils = tuple(self.cfg.dilations())
+            if hbm_threshold == "auto":
+                bp = cond.shape[0] + (-cond.shape[0]) % 8
+                itemsize = jnp.dtype(dtype).itemsize
+                ring_mb = lambda th: sum(2 * d for d in dils if d < th) * bp * \
+                    self.cfg.residual_channels * itemsize / 2**20
+                hbm_threshold = None
+                if ring_mb(max(dils) + 1) > 8.0:
+                    # largest threshold that fits = most rings stay in VMEM
+                    hbm_threshold = next(
+                        th
+                        for th in sorted(set(dils), reverse=True)
+                        if ring_mb(th) <= 8.0
+                    )
             wav = generate_pallas(
-                packed, tuple(self.cfg.dilations()),
+                packed, dils,
                 cond, jnp.swapaxes(uniforms, 0, 1),
                 log_scale_min=self.cfg.log_scale_min,
                 interpret=jax.default_backend() not in ("tpu", "axon"),
+                hbm_threshold=hbm_threshold,
             )
         else:
             wav, _ = _generate_scan(self.params, self.cfg, cond, key, length, dtype=dtype)

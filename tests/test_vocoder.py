@@ -401,6 +401,34 @@ def test_pallas_generation_matches_scan(tiny_params):
     np.testing.assert_allclose(w_pallas, w_scan, atol=2e-4)
 
 
+def test_pallas_hybrid_ring_matches_scan():
+    """The hybrid-ring kernel (large-dilation rings in HBM via async DMA,
+    ops/pallas_wavenet.py::_wavenet_kernel_hybrid) reproduces the scan
+    engine exactly like the all-VMEM kernel does. An 8-layer (1,2,4,8)x2
+    config with threshold=4 pushes 4 of the 8 layers (d=4, d=8) through
+    the HBM/DMA path while d=1,2 stay in VMEM rings."""
+    from autovc_tpu.vocoder.wavenet import WaveNetVocoder
+
+    cfg = WaveNetConfig(
+        out_channels=12, layers=8, stacks=2, residual_channels=16,
+        gate_channels=16, skip_channels=8, cin_channels=80,
+        upsample_scales=(4, 4, 4, 4),
+    )
+    voc = WaveNetVocoder(cfg, init_params(cfg, jax.random.PRNGKey(5)))
+    mel = jnp.asarray(np.random.RandomState(3).rand(2, 4, 80), jnp.float32)
+    key = jax.random.PRNGKey(7)
+    w_scan = np.asarray(voc.generate(mel, key=key))
+    w_hybrid = np.asarray(
+        voc.generate(mel, key=key, engine="pallas", hbm_threshold=4)
+    )
+    assert w_scan.shape == w_hybrid.shape == (2, 4 * 256)
+    np.testing.assert_allclose(w_hybrid, w_scan, atol=2e-4)
+
+    # thresholds below 4 violate the hazard-free prefetch schedule
+    with pytest.raises(AssertionError, match="hbm_threshold"):
+        voc.generate(mel, key=key, engine="pallas", hbm_threshold=2)
+
+
 def test_wavenet_trainer_nonfinite_sentinel():
     """A non-finite NLL halts training with an error BEFORE the CLI's
     save_every loop can overwrite a good checkpoint with poisoned params
