@@ -13,16 +13,21 @@ must land on their own speaker).
 For each reference wav: 16 kHz load -> framework mel front-end -> GE2E
 embedding -> cosine to target vs source centroid (the exact
 cli.evaluate_conversion metric). For ours: the same (src_spk -> trg_spk)
-pairs converted with the shipped generator artifact — the bundled corpus
-lacks the exact source sentences the reference used (020/4019/001), so a
-different sentence of the same source speaker stands in; zero-shot speaker
-transfer is sentence-independent and the judge scores speaker identity
-only. Scored through the mel path and through a real audio path
-(Griffin-Lim by default, --vocoder hifigan on a free chip), since
-VALIDATION_r3 §2a established the metric is vocoder-invariant.
+pairs converted with the shipped generator artifact. Where the bundled
+corpus carries the EXACT source sentence the reference converted
+(p002_020 for files 0-2, p227_003 for file 7) we use it and report those
+pairs as the iso-sentence "clean subset"; elsewhere a different sentence
+of the same source speaker stands in (zero-shot speaker transfer is
+sentence-independent and the judge scores speaker identity only).
+
+Audio path: --vocoder wavenet synthesizes our conversions through OUR
+trained autoregressive WaveNet — the same vocoder class as the
+reference's 1M-step checkpoint (reference vocoder.py:17-22) — making the
+comparison iso-vocoder-class; griffinlim/hifigan rows kept for the
+vocoder-invariance picture (VALIDATION_r3 §2a).
 
 Usage: python scripts/score_reference_results.py [--platform cpu]
-           [--vocoder griffinlim|hifigan|none] [--out JSON]
+           [--vocoder griffinlim|hifigan|wavenet|none] [--out JSON]
 """
 
 from __future__ import annotations
@@ -57,10 +62,14 @@ def main(argv=None):
     ap.add_argument(
         "--vocoder",
         default="griffinlim",
-        choices=["griffinlim", "hifigan", "none"],
+        choices=["griffinlim", "hifigan", "wavenet", "none"],
         help="audio path for OUR conversions (none = mel path only)",
     )
     ap.add_argument("--vocoder_ckpt", default="artifacts/hifigan.npz")
+    ap.add_argument("--wavenet_ckpt", default="artifacts/wavenet_200k.npz")
+    ap.add_argument(
+        "--wavenet_engine", default="pallas", choices=["pallas", "scan"]
+    )
     ap.add_argument("--gl_iters", type=int, default=60)
     ap.add_argument(
         "--variant",
@@ -148,6 +157,18 @@ def main(argv=None):
 
         voc = HiFiGANVocoder.from_checkpoint(cfg.hifigan, args.vocoder_ckpt)
         synth = voc.generate
+    elif args.vocoder == "wavenet":
+        import jax.numpy as _jnp
+
+        from autovc_tpu.vocoder.wavenet import WaveNetVocoder
+
+        wnv = WaveNetVocoder.from_checkpoint(cfg.wavenet, args.wavenet_ckpt)
+        wn_dtype = (
+            _jnp.bfloat16 if args.wavenet_engine == "pallas" else _jnp.float32
+        )
+        synth = lambda m: wnv.generate_bucketed(
+            np.asarray(m), bucket=64, dtype=wn_dtype, engine=args.wavenet_engine
+        )
     elif args.vocoder == "griffinlim":
         from autovc_tpu.vocoder.griffinlim import mel_to_waveform
 
@@ -156,7 +177,11 @@ def main(argv=None):
     our_records = []
     for i, (src, sent, trg) in enumerate(REF_PAIRS):
         src_entry, trg_entry = by_id[src], by_id[trg]
-        rel = src_entry.utterances[0]
+        # iso-sentence where the corpus bundles the reference's exact source
+        # utterance; otherwise another sentence of the same speaker stands in
+        exact_rel = os.path.join(src, f"{src}_{sent}.npy")
+        exact = os.path.exists(os.path.join(mel_dir, exact_rel))
+        rel = exact_rel if exact else src_entry.utterances[0]
         feats = np.load(os.path.join(mel_dir, rel))
         spec = ConversionSpec(
             i, os.path.splitext(os.path.basename(rel))[0],
@@ -164,7 +189,10 @@ def main(argv=None):
         )
         mel_out = converter.convert_to_mel(spec)
         rec = similarity_record(embedder, centroids, mel_out, src=src, trg=trg)
-        rec.update({"src_utt": spec.src_name, "through": "mel", "identity": src == trg})
+        rec.update(
+            {"src_utt": spec.src_name, "through": "mel",
+             "identity": src == trg, "exact_sentence": exact}
+        )
         if synth is not None:
             wav = np.asarray(synth(mel_out))
             mel_rt = np.asarray(frontend.mel_features(jnp.asarray(wav)))
@@ -180,11 +208,15 @@ def main(argv=None):
             f"margin {rec['margin']:+.3f}{a}"
         )
 
-    def cross(records, key="margin"):
+    def cross(records, key="margin", success_key="success", clean=False):
         xs = [r for r in records if not r["identity"]]
+        if clean:
+            xs = [r for r in xs if r.get("exact_sentence")]
+        if not xs:
+            return {"n": 0}
         return {
             "n": len(xs),
-            "success": sum(bool(r["success"]) for r in xs),
+            "success": sum(bool(r[success_key]) for r in xs),
             "mean_margin": float(np.mean([r[key] for r in xs])),
             "median_margin": float(np.median([r[key] for r in xs])),
         }
@@ -200,19 +232,28 @@ def main(argv=None):
                 r["nearest"] == r["trg"] for r in ref_records if r["identity"]
             ],
         },
+        # clean = the pairs where OUR side converts the reference's exact
+        # source sentence, applied to BOTH sides for an iso-sentence slice
         "reference_cross": cross(ref_records),
+        "reference_cross_clean": cross(
+            [
+                dict(r, exact_sentence=o.get("exact_sentence", False))
+                for r, o in zip(ref_records, our_records)
+            ],
+            clean=True,
+        ),
         "ours_cross_mel": cross(our_records),
+        "ours_cross_mel_clean": cross(our_records, clean=True),
         "reference_records": ref_records,
         "our_records": our_records,
     }
     if synth is not None:
-        xs = [r for r in our_records if not r["identity"]]
-        summary["ours_cross_audio"] = {
-            "n": len(xs),
-            "success": sum(bool(r["audio_success"]) for r in xs),
-            "mean_margin": float(np.mean([r["audio_margin"] for r in xs])),
-            "median_margin": float(np.median([r["audio_margin"] for r in xs])),
-        }
+        summary["ours_cross_audio"] = cross(
+            our_records, key="audio_margin", success_key="audio_success"
+        )
+        summary["ours_cross_audio_clean"] = cross(
+            our_records, key="audio_margin", success_key="audio_success", clean=True
+        )
     with open(args.out, "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps({k: v for k, v in summary.items()
