@@ -39,6 +39,23 @@ def test_make_spect_cli(tiny_corpus):
     assert a.shape[1] == 80 and a.dtype == np.float32
 
 
+def test_make_spect_cli_legacy(tiny_corpus, reference_dir):
+    """--model_type legacy: the old-code 512-pt/257-bin pipeline
+    ("old code/make_spect_old.py"); p225_003's output must stay inside the
+    golden-test tolerance envelope of the bundled test_data/STFT fixtures'
+    pipeline (tests/test_dsp.py::test_golden_legacy_stft_parity pins the
+    numerics; this pins the CLI wiring and the (T, 257) layout)."""
+    from autovc_tpu.cli.make_spect import main
+
+    main(["--platform", "cpu", "--main_dir", tiny_corpus, "--model_type", "legacy"])
+    out = os.path.join(tiny_corpus, "legacy", "p225")
+    files = sorted(f for f in os.listdir(out) if f.endswith(".npy"))
+    assert len(files) == 2
+    a = np.load(os.path.join(out, files[0]))
+    assert a.shape[1] == 257 and a.dtype == np.float32
+    assert 0.0 <= a.min() and a.max() <= 1.0
+
+
 def test_make_metadata_cli_one_hot(tiny_corpus):
     from autovc_tpu.cli.make_metadata import main
     from autovc_tpu.data.manifest import load_conversion_metadata, load_train_manifest
