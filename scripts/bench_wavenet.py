@@ -24,7 +24,17 @@ def main():
     ap.add_argument("--engines", default="scan,pallas")
     ap.add_argument("--dtypes", default="float32")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--hbm_threshold", default="auto",
+        help="pallas ring placement: auto | none | <int> (dilations >= int "
+        "keep HBM rings; see ops/pallas_wavenet.py)",
+    )
     args = ap.parse_args()
+    hbm_threshold = (
+        "auto" if args.hbm_threshold == "auto"
+        else None if args.hbm_threshold == "none"
+        else int(args.hbm_threshold)
+    )
 
     import jax
 
@@ -51,14 +61,15 @@ def main():
                 try:
                     mel = rng.rand(b, args.frames, 80).astype(np.float32)
                     key = jax.random.PRNGKey(0)
+                    kw = {"hbm_threshold": hbm_threshold} if engine == "pallas" else {}
                     t0 = time.time()
-                    y = voc.generate(mel, key=key, dtype=dtype, engine=engine)
+                    y = voc.generate(mel, key=key, dtype=dtype, engine=engine, **kw)
                     _ = np.asarray(y[:, :8])  # forces full D2H sync
                     compile_s = time.time() - t0
                     times = []
                     for _ in range(args.reps):
                         t0 = time.time()
-                        y = voc.generate(mel, key=key, dtype=dtype, engine=engine)
+                        y = voc.generate(mel, key=key, dtype=dtype, engine=engine, **kw)
                         _ = np.asarray(y[:, :8])
                         times.append(time.time() - t0)
                     best = min(times)
