@@ -461,7 +461,7 @@ def generate_pallas(
         return jnp.swapaxes(y[:, 0, :], 0, 1)[:b]
 
     ring0 = jnp.zeros((hbm_slots, bp, r), dtype)
-    anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
     y, _ring = pl.pallas_call(
         functools.partial(
             _wavenet_kernel_hybrid, n_layers=n_layers, g2=g // 2,
