@@ -71,6 +71,61 @@ def _sample_mol(logits, uniforms, log_scale_min):
     return jnp.clip(x, -1.0, 1.0)
 
 
+def _begin_sample(xprev_s, h_s, skip_s, fk_ref, fb_ref):
+    """First-conv projection of the previous sample; reset the skip sum."""
+    h_s[:] = xprev_s[0][:, None] * fk_ref[0][None, :] + fb_ref[0][None, :]
+    skip_s[:] = jnp.zeros_like(skip_s)
+
+
+def _residual_layer(
+    x_2d, x_d, h,
+    w3_ref, wcond_ref, wout_ref, wskip_ref, bg_ref, bo_ref, bs_ref,
+    cond_ref, h_s, skip_s, g2,
+):
+    """Shared per-(t, l) layer math for BOTH ring variants: fused gates
+    matmul over [x(t-2d), x(t-d), x(t)], gated activation, skip and
+    residual accumulator updates. `h` is the layer INPUT — the caller
+    stores it into the just-consumed ring slot (VMEM or HBM)."""
+    dtype = h.dtype
+    x_all = jnp.concatenate([x_2d, x_d, h], axis=-1)  # (B, 3R)
+    gates = (
+        jnp.dot(x_all, w3_ref[0], preferred_element_type=jnp.float32)
+        + jnp.dot(cond_ref[0].astype(dtype), wcond_ref[0], preferred_element_type=jnp.float32)
+        + bg_ref[0, 0][None, :]
+    )  # (B, G) f32
+    z = (jnp.tanh(gates[:, :g2]) * jax.nn.sigmoid(gates[:, g2:])).astype(dtype)
+
+    skip_s[:] = (
+        skip_s[:]
+        + jnp.dot(z, wskip_ref[0], preferred_element_type=jnp.float32)
+        + bs_ref[0, 0][None, :]
+    ) * SQRT_HALF
+    h_s[:] = (
+        h_s[:]
+        + jnp.dot(z, wout_ref[0], preferred_element_type=jnp.float32)
+        + bo_ref[0, 0][None, :]
+    ) * SQRT_HALF
+
+
+def _emit_sample(
+    skip_s, l1k_ref, l1b_ref, l2k_ref, l2b_ref, unif_ref, y_ref, xprev_s,
+    log_scale_min,
+):
+    """MoL head + sampling after the last layer of a sample."""
+    out = jax.nn.relu(skip_s[:])
+    out = jax.nn.relu(
+        jnp.dot(out, l1k_ref[:], preferred_element_type=jnp.float32)
+        + l1b_ref[0][None, :]
+    )
+    logits = (
+        jnp.dot(out, l2k_ref[:], preferred_element_type=jnp.float32)
+        + l2b_ref[0][None, :]
+    )
+    x_t = _sample_mol(logits, unif_ref[0], log_scale_min)
+    y_ref[0, 0] = x_t
+    xprev_s[0] = x_t
+
+
 def _wavenet_kernel(
     dil_s, off_s,  # SMEM (L,) int32
     w3_ref, wcond_ref, wout_ref, wskip_ref, bg_ref, bo_ref, bs_ref,
@@ -90,8 +145,7 @@ def _wavenet_kernel(
 
     @pl.when(l == 0)
     def _first_conv():
-        h_s[:] = xprev_s[0][:, None] * fk_ref[0][None, :] + fb_ref[0][None, :]
-        skip_s[:] = jnp.zeros_like(skip_s)
+        _begin_sample(xprev_s, h_s, skip_s, fk_ref, fb_ref)
 
     d = dil_s[l]
     off = off_s[l]
@@ -104,41 +158,19 @@ def _wavenet_kernel(
     x_d = rbuf[pl.ds(off + slot_d, 1)][0]
     h = h_s[:].astype(dtype)
 
-    x_all = jnp.concatenate([x_2d, x_d, h], axis=-1)  # (B, 3R): [t-2d, t-d, t]
-    gates = (
-        jnp.dot(x_all, w3_ref[0], preferred_element_type=jnp.float32)
-        + jnp.dot(cond_ref[0].astype(dtype), wcond_ref[0], preferred_element_type=jnp.float32)
-        + bg_ref[0, 0][None, :]
-    )  # (B, G) f32
-    z = (jnp.tanh(gates[:, :g2]) * jax.nn.sigmoid(gates[:, g2:])).astype(dtype)
-
-    skip_s[:] = (
-        skip_s[:]
-        + jnp.dot(z, wskip_ref[0], preferred_element_type=jnp.float32)
-        + bs_ref[0, 0][None, :]
-    ) * SQRT_HALF
+    _residual_layer(
+        x_2d, x_d, h, w3_ref, wcond_ref, wout_ref, wskip_ref,
+        bg_ref, bo_ref, bs_ref, cond_ref, h_s, skip_s, g2,
+    )
     # store this layer's INPUT into the slot just consumed (x[t-2d]'s slot)
     rbuf[pl.ds(off + slot, 1)] = h[None]
-    h_s[:] = (
-        h_s[:]
-        + jnp.dot(z, wout_ref[0], preferred_element_type=jnp.float32)
-        + bo_ref[0, 0][None, :]
-    ) * SQRT_HALF
 
     @pl.when(l == n_layers - 1)
     def _emit():
-        out = jax.nn.relu(skip_s[:])
-        out = jax.nn.relu(
-            jnp.dot(out, l1k_ref[:], preferred_element_type=jnp.float32)
-            + l1b_ref[0][None, :]
+        _emit_sample(
+            skip_s, l1k_ref, l1b_ref, l2k_ref, l2b_ref, unif_ref, y_ref,
+            xprev_s, log_scale_min,
         )
-        logits = (
-            jnp.dot(out, l2k_ref[:], preferred_element_type=jnp.float32)
-            + l2b_ref[0][None, :]
-        )
-        x_t = _sample_mol(logits, unif_ref[0], log_scale_min)
-        y_ref[0, 0] = x_t
-        xprev_s[0] = x_t
 
 
 def _wavenet_kernel_hybrid(
@@ -197,8 +229,7 @@ def _wavenet_kernel_hybrid(
 
     @pl.when(l == 0)
     def _first_conv():
-        h_s[:] = xprev_s[0][:, None] * fk_ref[0][None, :] + fb_ref[0][None, :]
-        skip_s[:] = jnp.zeros_like(skip_s)
+        _begin_sample(xprev_s, h_s, skip_s, fk_ref, fb_ref)
         # prefetch next sample's HBM-ring reads (and sample 0's at t == 0)
         for j in range(n_hbm):
             d_j = hbm_dil_s[j]
@@ -247,19 +278,10 @@ def _wavenet_kernel_hybrid(
     x_d = jnp.where(is_hbm, x_d_h, x_d_v)
     h = h_s[:].astype(dtype)
 
-    x_all = jnp.concatenate([x_2d, x_d, h], axis=-1)  # (B, 3R): [t-2d, t-d, t]
-    gates = (
-        jnp.dot(x_all, w3_ref[0], preferred_element_type=jnp.float32)
-        + jnp.dot(cond_ref[0].astype(dtype), wcond_ref[0], preferred_element_type=jnp.float32)
-        + bg_ref[0, 0][None, :]
-    )  # (B, G) f32
-    z = (jnp.tanh(gates[:, :g2]) * jax.nn.sigmoid(gates[:, g2:])).astype(dtype)
-
-    skip_s[:] = (
-        skip_s[:]
-        + jnp.dot(z, wskip_ref[0], preferred_element_type=jnp.float32)
-        + bs_ref[0, 0][None, :]
-    ) * SQRT_HALF
+    _residual_layer(
+        x_2d, x_d, h, w3_ref, wcond_ref, wout_ref, wskip_ref,
+        bg_ref, bo_ref, bs_ref, cond_ref, h_s, skip_s, g2,
+    )
 
     # store this layer's INPUT into the slot just consumed (x[t-2d]'s slot)
     @pl.when(jnp.logical_not(is_hbm))
@@ -271,26 +293,12 @@ def _wavenet_kernel_hybrid(
         wr_stage[pl.ds(wr_base, 1)] = h[None]
         _write_copy(t, jh_safe, d_h, off_h).start()
 
-    h_s[:] = (
-        h_s[:]
-        + jnp.dot(z, wout_ref[0], preferred_element_type=jnp.float32)
-        + bo_ref[0, 0][None, :]
-    ) * SQRT_HALF
-
     @pl.when(l == n_layers - 1)
     def _emit():
-        out = jax.nn.relu(skip_s[:])
-        out = jax.nn.relu(
-            jnp.dot(out, l1k_ref[:], preferred_element_type=jnp.float32)
-            + l1b_ref[0][None, :]
+        _emit_sample(
+            skip_s, l1k_ref, l1b_ref, l2k_ref, l2b_ref, unif_ref, y_ref,
+            xprev_s, log_scale_min,
         )
-        logits = (
-            jnp.dot(out, l2k_ref[:], preferred_element_type=jnp.float32)
-            + l2b_ref[0][None, :]
-        )
-        x_t = _sample_mol(logits, unif_ref[0], log_scale_min)
-        y_ref[0, 0] = x_t
-        xprev_s[0] = x_t
 
         # drain the write DMAs still in flight at the end of the run
         @pl.when(t == num_t - 1)

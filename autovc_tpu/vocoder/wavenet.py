@@ -383,8 +383,10 @@ class WaveNetVocoder:
 
         hbm_threshold ('auto'|int|None, pallas engine only): dilations >=
         the threshold keep ring buffers in HBM, lifting the VMEM batch
-        ceiling (B=32). 'auto' picks the smallest threshold whose VMEM
-        rings fit an ~8 MB budget (None when everything fits).
+        ceiling (B=32). 'auto' picks the largest threshold whose VMEM
+        rings fit an ~8 MB budget (None when everything fits); thresholds
+        below 4 are invalid (hazard-free prefetch), so batches too large
+        for even threshold 4 raise with the measured ring size.
         """
         if key is None:
             key = jax.random.PRNGKey(0)
@@ -416,12 +418,20 @@ class WaveNetVocoder:
                     self.cfg.residual_channels * itemsize / 2**20
                 hbm_threshold = None
                 if ring_mb(max(dils) + 1) > 8.0:
-                    # largest threshold that fits = most rings stay in VMEM
-                    hbm_threshold = next(
+                    # largest threshold that fits = most rings stay in VMEM;
+                    # generate_pallas rejects thresholds < 4 (prefetch hazard)
+                    fitting = [
                         th
                         for th in sorted(set(dils), reverse=True)
-                        if ring_mb(th) <= 8.0
-                    )
+                        if th >= 4 and ring_mb(th) <= 8.0
+                    ]
+                    if not fitting:
+                        raise ValueError(
+                            f"batch {cond.shape[0]} needs "
+                            f"{ring_mb(4):.1f} MB of VMEM rings even at "
+                            "hbm_threshold=4; use the scan engine"
+                        )
+                    hbm_threshold = fitting[0]
             wav = generate_pallas(
                 packed, dils,
                 cond, jnp.swapaxes(uniforms, 0, 1),

@@ -28,7 +28,11 @@ nice -n -5 python -m autovc_tpu.cli.train \
   --batch_size "$BATCH" --num_iters "$NUM_ITERS" \
   --lr_scheduler CosineDecay --checkpoint_step 5000 --log_step 1000
 
-python -m autovc_tpu.cli.export_ckpt --run_dir "_runs/$RUN" --out "$ART" \
+# cli.train appends a datetime suffix to run_name (main.py:76 parity);
+# pick the newest matching run directory under <main_dir>/runs
+RUN_DIR=$(ls -dt _data_heldout/runs/${RUN}_* 2>/dev/null | head -1)
+[ -n "$RUN_DIR" ] || { echo "no run dir matching _data_heldout/runs/${RUN}_*" >&2; exit 1; }
+python -m autovc_tpu.cli.export_ckpt --run_dir "$RUN_DIR" --out "$ART" \
   --use_ema --dtype float16 --platform cpu
 
 for judge in artifacts/ge2e.npz artifacts/ge2e_indep.npz; do

@@ -28,11 +28,19 @@ OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens", "stf
 def load_reference_spect():
     # librosa/soundfile are not installed here; stub them so the module
     # imports — we only call Spect.pySTFT / Spect.butter_highpass, which
-    # are pure numpy/scipy.
+    # are pure numpy/scipy. Only freshly-created stubs are mutated: a real
+    # installed librosa must not have its attributes clobbered.
     for name in ("soundfile", "librosa", "librosa.filters"):
-        sys.modules.setdefault(name, types.ModuleType(name))
-    sys.modules["librosa.filters"].mel = lambda *a, **k: None
-    sys.modules["librosa"].filters = sys.modules["librosa.filters"]
+        if name not in sys.modules:
+            try:
+                __import__(name)
+            except ImportError:
+                sys.modules[name] = types.ModuleType(name)
+                sys.modules[name]._stub = True
+    if getattr(sys.modules["librosa.filters"], "_stub", False):
+        sys.modules["librosa.filters"].mel = lambda *a, **k: None
+    if getattr(sys.modules["librosa"], "_stub", False):
+        sys.modules["librosa"].filters = sys.modules["librosa.filters"]
     sys.path.insert(0, REF)
     try:
         from make_spect import Spect

@@ -56,14 +56,16 @@ EOF
   echo "$n"
 }
 
-BASE=$(persisted "$INIT.train_state.npz")
+# persisted() runs in a command-substitution subshell, so its internal
+# `exit 1` cannot abort the watchdog — every call site must propagate it
+BASE=$(persisted "$INIT.train_state.npz") || exit 1
 [ "$BASE" -gt 0 ] && echo "[watchdog] INIT carries a prior leg: baseline count $BASE"
 
 attempt=0
 while :; do
   attempt=$((attempt + 1))
   if [ -f "$OUT.train_state.npz" ]; then
-    cum=$(persisted "$OUT.train_state.npz")
+    cum=$(persisted "$OUT.train_state.npz") || exit 1
     resumable=1
   else
     cum=$BASE
