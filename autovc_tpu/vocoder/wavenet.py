@@ -317,6 +317,37 @@ def _generate_scan(
     return jnp.swapaxes(ys, 0, 1), jnp.swapaxes(logits, 0, 1)  # (B, T), (B, T, 30)
 
 
+def auto_hbm_threshold(
+    dilations: tuple,
+    batch: int,
+    itemsize: int,
+    residual_channels: int,
+    budget_mb: float = 8.0,
+) -> int | None:
+    """Pick the pallas ring placement for a batch size: the LARGEST
+    hbm_threshold whose VMEM-resident rings (dilations below it) fit
+    `budget_mb` — most rings stay in VMEM, only the big tails go to HBM.
+    None when everything fits; ValueError when even threshold 4 (the
+    hazard-free floor, ops/pallas_wavenet.py) exceeds the budget."""
+    bp = batch + (-batch) % 8  # kernel pads the sublane dim
+    ring_mb = (
+        lambda th: sum(2 * d for d in dilations if d < th)
+        * bp * residual_channels * itemsize / 2**20
+    )
+    if ring_mb(max(dilations) + 1) <= budget_mb:
+        return None
+    fitting = [
+        th for th in sorted(set(dilations), reverse=True)
+        if th >= 4 and ring_mb(th) <= budget_mb
+    ]
+    if not fitting:
+        raise ValueError(
+            f"batch {batch} needs {ring_mb(4):.1f} MB of VMEM rings even at "
+            "hbm_threshold=4; use the scan engine"
+        )
+    return fitting[0]
+
+
 class WaveNetVocoder:
     """User-facing vocoder wrapper (the reference's build_model + wavegen,
     synthesis.py:19-72)."""
@@ -412,26 +443,12 @@ class WaveNetVocoder:
             packed = self._packed[dkey]
             dils = tuple(self.cfg.dilations())
             if hbm_threshold == "auto":
-                bp = cond.shape[0] + (-cond.shape[0]) % 8
-                itemsize = jnp.dtype(dtype).itemsize
-                ring_mb = lambda th: sum(2 * d for d in dils if d < th) * bp * \
-                    self.cfg.residual_channels * itemsize / 2**20
-                hbm_threshold = None
-                if ring_mb(max(dils) + 1) > 8.0:
-                    # largest threshold that fits = most rings stay in VMEM;
-                    # generate_pallas rejects thresholds < 4 (prefetch hazard)
-                    fitting = [
-                        th
-                        for th in sorted(set(dils), reverse=True)
-                        if th >= 4 and ring_mb(th) <= 8.0
-                    ]
-                    if not fitting:
-                        raise ValueError(
-                            f"batch {cond.shape[0]} needs "
-                            f"{ring_mb(4):.1f} MB of VMEM rings even at "
-                            "hbm_threshold=4; use the scan engine"
-                        )
-                    hbm_threshold = fitting[0]
+                hbm_threshold = auto_hbm_threshold(
+                    dils,
+                    cond.shape[0],
+                    jnp.dtype(dtype).itemsize,
+                    self.cfg.residual_channels,
+                )
             wav = generate_pallas(
                 packed, dils,
                 cond, jnp.swapaxes(uniforms, 0, 1),
