@@ -43,7 +43,17 @@ class SPGenerator:
     is a multiple of freq (pad with pad_seq first).
     """
 
-    def __init__(self, params, batch_stats, cfg: ModelConfig, mesh: Mesh, axis: str = "seq"):
+    def __init__(
+        self,
+        params,
+        batch_stats,
+        cfg: ModelConfig,
+        mesh: Mesh,
+        axis: str = "seq",
+        batch_axis: str | None = None,
+    ):
+        # batch_axis optionally shards the batch over a second mesh axis
+        # (combined DP x SP conversion); None = time-sharding only
         # replicate over the mesh (restored checkpoints arrive pinned to one device)
         rep = NamedSharding(mesh, P())
         self.p = jax.device_put(params, rep)
@@ -51,15 +61,18 @@ class SPGenerator:
         self.cfg = cfg
         self.mesh = mesh
         self.axis = axis
+        self.batch_axis = batch_axis
 
     def _shard_t(self, x):
-        return jax.device_put(x, NamedSharding(self.mesh, P(None, self.axis, None)))
+        return jax.device_put(
+            x, NamedSharding(self.mesh, P(self.batch_axis, self.axis, None))
+        )
 
     def _enc_conv(self, h, i):
         p, s = self.p["encoder"], self.s["encoder"]
         h = halo_conv1d(
             h, p[f"conv{i}"]["Conv_0"]["kernel"], p[f"conv{i}"]["Conv_0"].get("bias"),
-            self.mesh, self.axis,
+            self.mesh, self.axis, batch_axis=self.batch_axis,
         )
         h = _bn_eval(h, p[f"bn{i}"], s[f"bn{i}"])
         return jax.nn.relu(h)
@@ -76,7 +89,10 @@ class SPGenerator:
         h = self._shard_t(h)
         for i in range(3):
             h = self._enc_conv(h, i)
-        out = sp_blstm(h, self.p["encoder"]["blstm"], self.mesh, self.axis, num_layers=2)
+        out = sp_blstm(
+            h, self.p["encoder"]["blstm"], self.mesh, self.axis, num_layers=2,
+            batch_axis=self.batch_axis,
+        )
         # bottleneck downsampling: local per chunk (chunk % freq == 0)
         neck = self.cfg.dim_neck
         nb = t // self.cfg.freq
@@ -94,6 +110,7 @@ class SPGenerator:
                 p[f"b_l{layer}_fwd"],
                 self.mesh,
                 self.axis,
+                batch_axis=self.batch_axis,
             )
         return h
 
@@ -110,7 +127,7 @@ class SPGenerator:
         for i in range(3):
             h = halo_conv1d(
                 h, p[f"conv{i}"]["Conv_0"]["kernel"], p[f"conv{i}"]["Conv_0"].get("bias"),
-                self.mesh, self.axis,
+                self.mesh, self.axis, batch_axis=self.batch_axis,
             )
             h = jax.nn.relu(_bn_eval(h, p[f"bn{i}"], s[f"bn{i}"]))
         h = self._dec_lstm(h, "lstm2", 2)
@@ -123,7 +140,7 @@ class SPGenerator:
         for i in range(5):
             g = halo_conv1d(
                 g, pp[f"conv{i}"]["Conv_0"]["kernel"], pp[f"conv{i}"]["Conv_0"].get("bias"),
-                self.mesh, self.axis,
+                self.mesh, self.axis, batch_axis=self.batch_axis,
             )
             g = _bn_eval(g, pp[f"bn{i}"], ps[f"bn{i}"])
             if i < 4:

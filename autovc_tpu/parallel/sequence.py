@@ -28,16 +28,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 
-def _pvary(x, axis):
-    """Mark a replicated value as device-varying over `axis` (shard_map's
-    typed-collective requirement for values entering ppermute). jax>=0.9
-    spells this lax.pcast(..., to='varying'); older releases only have
-    lax.pvary."""
+def _pvary(x, axes):
+    """Mark a replicated value as device-varying over `axes` (shard_map's
+    typed-collective requirement for values entering ppermute, and for
+    lax.cond branch unification when other operands are varying over a
+    second mesh axis). jax>=0.9 spells this lax.pcast(..., to='varying');
+    older releases only have lax.pvary."""
     import jax.lax as lax
 
+    axes = (axes,) if isinstance(axes, str) else tuple(axes)
     if hasattr(lax, "pcast"):
-        return lax.pcast(x, axis, to="varying")
-    return lax.pvary(x, (axis,))
+        return lax.pcast(x, axes, to="varying")
+    return lax.pvary(x, axes)
 
 
 def halo_conv1d(
@@ -46,12 +48,15 @@ def halo_conv1d(
     bias: jax.Array | None,
     mesh: Mesh,
     axis: str = "seq",
+    batch_axis: str | None = None,
 ) -> jax.Array:
     """'Same' 1-D convolution over time-sharded input.
 
     x: (B, T, Cin) with T sharded over `axis`; kernel (k, Cin, Cout), k odd.
     Devices exchange `halo = k//2` frames with both neighbors (zero padding
     at the sequence ends), then convolve their chunk VALID.
+    `batch_axis` optionally shards B over a second mesh axis (DP x SP);
+    halos ride `axis` within each data-parallel slice.
     """
     k = kernel.shape[0]
     halo = k // 2
@@ -89,8 +94,8 @@ def halo_conv1d(
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(None, axis, None), P(), P()),
-        out_specs=P(None, axis, None),
+        in_specs=(P(batch_axis, axis, None), P(), P()),
+        out_specs=P(batch_axis, axis, None),
     )(x, kernel, bias if bias is not None else jnp.zeros((kernel.shape[-1],), x.dtype))
 
 
@@ -116,6 +121,7 @@ def sp_lstm(
     mesh: Mesh,
     axis: str = "seq",
     reverse: bool = False,
+    batch_axis: str | None = None,
 ) -> jax.Array:
     """Sequence-parallel single-direction LSTM.
 
@@ -140,9 +146,10 @@ def sp_lstm(
             else [(i, (i + 1) % n) for i in range(n)]
         )
 
-        h = _pvary(jnp.zeros((bsz, hdim), x_chunk.dtype), axis)
-        c = _pvary(jnp.zeros((bsz, hdim), x_chunk.dtype), axis)
-        out = _pvary(jnp.zeros(x_chunk.shape[:2] + (hdim,), x_chunk.dtype), axis)
+        vary = (axis,) if batch_axis is None else (axis, batch_axis)
+        h = _pvary(jnp.zeros((bsz, hdim), x_chunk.dtype), vary)
+        c = _pvary(jnp.zeros((bsz, hdim), x_chunk.dtype), vary)
+        out = _pvary(jnp.zeros(x_chunk.shape[:2] + (hdim,), x_chunk.dtype), vary)
 
         def round_body(r, carry):
             h, c, out = carry
@@ -172,8 +179,8 @@ def sp_lstm(
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(None, axis, None), P(), P(), P()),
-        out_specs=P(None, axis, None),
+        in_specs=(P(batch_axis, axis, None), P(), P(), P()),
+        out_specs=P(batch_axis, axis, None),
     )(x, w_ih, w_hh, b)
 
 
@@ -183,6 +190,7 @@ def sp_blstm(
     mesh: Mesh,
     axis: str = "seq",
     num_layers: int = 2,
+    batch_axis: str | None = None,
 ) -> jax.Array:
     """Sequence-parallel bidirectional LSTM stack using layers.LSTM's
     parameter naming (w_ih_l{k}_{fwd,bwd}, w_hh_..., b_...)."""
@@ -196,6 +204,7 @@ def sp_blstm(
             mesh,
             axis,
             reverse=False,
+            batch_axis=batch_axis,
         )
         bwd = sp_lstm(
             h,
@@ -205,6 +214,7 @@ def sp_blstm(
             mesh,
             axis,
             reverse=True,
+            batch_axis=batch_axis,
         )
         h = jnp.concatenate([fwd, bwd], axis=-1)
     return h
