@@ -51,7 +51,16 @@ def dvector_for_params(params: dict) -> DVector:
             dim_emb=int(k.shape[1]),
             num_layers=sum(1 for n in lstm if n.startswith("w_ih_l")),
         )
-    except (KeyError, TypeError, AttributeError):
+    except (KeyError, TypeError, AttributeError) as e:
         # malformed trees (missing keys, non-array leaves) degrade to the
-        # reference defaults rather than raising
+        # reference defaults rather than raising — but loudly, so a corrupt
+        # checkpoint is distinguishable from a genuinely default-shaped one
+        # when the eventual failure surfaces as a downstream shape mismatch
+        import warnings
+
+        warnings.warn(
+            f"dvector_for_params: checkpoint tree not understood ({e!r}); "
+            "falling back to reference-default DVector dims (80/768/256 x3)",
+            stacklevel=2,
+        )
         return DVector()

@@ -325,20 +325,22 @@ def auto_hbm_threshold(
     budget_mb: float = 8.0,
 ) -> int | None:
     """Pick the pallas ring placement for a batch size: the LARGEST
-    hbm_threshold whose VMEM-resident rings (dilations below it) fit
-    `budget_mb` — most rings stay in VMEM, only the big tails go to HBM.
-    None when everything fits; ValueError when even threshold 4 (the
-    hazard-free floor, ops/pallas_wavenet.py) exceeds the budget."""
+    hbm_threshold whose VMEM cost fits `budget_mb` — most rings stay in
+    VMEM, only the big tails go to HBM. The cost of a candidate is the
+    resident rings (dilations below it) PLUS the hybrid path's DMA staging
+    (6 per-HBM-layer (bp, R) blocks: 2 banks x 2 reads + 2 banks x 1
+    write, ops/pallas_wavenet.py scratch_shapes) — spilling a layer to HBM
+    is not free in VMEM. None when everything fits resident; ValueError
+    when even threshold 4 (the hazard-free floor) exceeds the budget."""
     bp = batch + (-batch) % 8  # kernel pads the sublane dim
-    ring_mb = (
-        lambda th: sum(2 * d for d in dilations if d < th)
-        * bp * residual_channels * itemsize / 2**20
-    )
+    unit_mb = bp * residual_channels * itemsize / 2**20
+    ring_mb = lambda th: sum(2 * d for d in dilations if d < th) * unit_mb
+    stage_mb = lambda th: 6 * sum(1 for d in dilations if d >= th) * unit_mb
     if ring_mb(max(dilations) + 1) <= budget_mb:
         return None
     fitting = [
         th for th in sorted(set(dilations), reverse=True)
-        if th >= 4 and ring_mb(th) <= budget_mb
+        if th >= 4 and ring_mb(th) + stage_mb(th) <= budget_mb
     ]
     if not fitting:
         raise ValueError(

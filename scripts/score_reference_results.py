@@ -66,7 +66,11 @@ def main(argv=None):
         help="audio path for OUR conversions (none = mel path only)",
     )
     ap.add_argument("--vocoder_ckpt", default="artifacts/hifigan.npz")
-    ap.add_argument("--wavenet_ckpt", default="artifacts/wavenet_200k.npz")
+    ap.add_argument(
+        "--wavenet_ckpt",
+        default="artifacts/wavenet_r4.npz",
+        help="committed continued-training checkpoint (see artifacts/README.md)",
+    )
     ap.add_argument(
         "--wavenet_engine", default="pallas", choices=["pallas", "scan"]
     )

@@ -431,15 +431,17 @@ def test_pallas_hybrid_ring_matches_scan():
 
 def test_auto_hbm_threshold():
     """Ring-placement chooser for the production 24-layer dilation set:
-    B<=16 bf16 fits VMEM entirely, B=32 bf16 / B=16 f32 spill only the
-    d=32 rings, B=64 bf16 spills d>=16, and absurd batches raise."""
+    B<=16 bf16 fits VMEM entirely; B=32 bf16 / B=16 f32 spill d>=16 and
+    B=64 bf16 spills d>=8 once the hybrid path's DMA staging blocks are
+    charged against the budget alongside the resident rings; absurd
+    batches raise."""
     from autovc_tpu.vocoder.wavenet import auto_hbm_threshold
 
     dils = WaveNetConfig().dilations()  # (1..32) x 4 stacks, 504 slots
     assert auto_hbm_threshold(dils, 16, 2, 512) is None
-    assert auto_hbm_threshold(dils, 32, 2, 512) == 32
-    assert auto_hbm_threshold(dils, 16, 4, 512) == 32  # f32 B=16: r3 OOM fixed
-    assert auto_hbm_threshold(dils, 64, 2, 512) == 16
+    assert auto_hbm_threshold(dils, 32, 2, 512) == 16
+    assert auto_hbm_threshold(dils, 16, 4, 512) == 16
+    assert auto_hbm_threshold(dils, 64, 2, 512) == 8
     with pytest.raises(ValueError, match="scan engine"):
         auto_hbm_threshold(dils, 4096, 4, 512)
 
