@@ -20,6 +20,23 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 NUM_ITERS=${1:-400000}
 BATCH=${2:-6}
+
+# Wall-clock cap (VERDICT r4 item 8: no headline claim may depend on an
+# in-flight process at snapshot time). If /tmp/heldout_deadline holds an
+# epoch-seconds deadline for the TRAINING leg, shrink NUM_ITERS to fit:
+# ~90 train steps/s at B=6 on the v5e (VALIDATION_r2 §1 step rates), minus
+# compile + checkpoint slack. Floor at 20k so a late start still produces
+# a generator worth scoring rather than noise.
+if [ -f /tmp/heldout_deadline ]; then
+  _now=$(date +%s); _deadline=$(cat /tmp/heldout_deadline)
+  _fit=$(( (_deadline - _now - 180) * 90 ))
+  if [ "$_fit" -lt "$NUM_ITERS" ]; then
+    [ "$_fit" -ge 20000 ] || _fit=20000
+    echo "[heldout] wall-clock cap: $NUM_ITERS -> $_fit iters" \
+         "(deadline $(date -u -d "@${_deadline}" +%H:%M:%S) UTC)"
+    NUM_ITERS=$_fit
+  fi
+fi
 RUN=heldout_p228
 ART=artifacts/generator_heldout_p228_f16.npz
 
