@@ -382,6 +382,18 @@ def generate_pallas(
 
     hybrid = hbm_threshold is not None and bool(np.any(dils >= hbm_threshold))
     if hybrid:
+        if not interpret and r % 128:
+            # The HBM<->VMEM ring DMAs copy (1, B, R) slot slices; Mosaic
+            # requires the minor dim of a sliced memref to be lane-aligned
+            # ("Slice shape along dimension 2 must be aligned to tiling
+            # (128), but is 16" — measured on real v5e, 2026-08-19).
+            # Interpret mode executes copies synchronously and never hits
+            # the constraint, which is why only hardware runs catch this.
+            raise ValueError(
+                f"hybrid HBM-ring path requires residual_channels to be a "
+                f"multiple of 128 (got {r}); use hbm_threshold=None "
+                "(all-VMEM rings) or the scan engine"
+            )
         # The sample-ahead prefetch reads h[u-d] written at grid (u-d, l) and
         # issues at (u-1, 0); the write's semaphore wait happens at (u-d+2, l),
         # so completion is only ordered before the read issue when d >= 4

@@ -338,6 +338,14 @@ def auto_hbm_threshold(
     stage_mb = lambda th: 6 * sum(1 for d in dilations if d >= th) * unit_mb
     if ring_mb(max(dilations) + 1) <= budget_mb:
         return None
+    if residual_channels % 128:
+        # the hybrid kernel's HBM ring DMAs need lane-aligned (1, B, R)
+        # slices (generate_pallas raises on real TPU); no HBM fallback here
+        raise ValueError(
+            f"batch {batch} does not fit VMEM-resident rings and the HBM "
+            f"ring path needs residual_channels % 128 == 0 (got "
+            f"{residual_channels}); use the scan engine"
+        )
     fitting = [
         th for th in sorted(set(dilations), reverse=True)
         if th >= 4 and ring_mb(th) + stage_mb(th) <= budget_mb

@@ -13,11 +13,17 @@ Usage: python scripts/bench_serve.py --bundle DIR [--platform tpu]
 
 from __future__ import annotations
 
+import os
+import sys
+
+# Detached drivers run `python scripts/<name>.py`, which puts scripts/ (not
+# the repo root) on sys.path; make autovc_tpu importable regardless of cwd.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import io
 import json
 import subprocess
-import sys
 import threading
 import time
 import urllib.request

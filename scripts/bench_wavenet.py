@@ -9,6 +9,13 @@ Usage: python scripts/bench_wavenet.py [--frames 32] [--batches 1,4,16,64]
 
 from __future__ import annotations
 
+import os
+import sys
+
+# Detached drivers run `python scripts/<name>.py`, which puts scripts/ (not
+# the repo root) on sys.path; make autovc_tpu importable regardless of cwd.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import time

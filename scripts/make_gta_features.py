@@ -13,8 +13,14 @@ Usage: python scripts/make_gta_features.py --main_dir _data \
 
 from __future__ import annotations
 
-import argparse
 import os
+import sys
+
+# Detached drivers run `python scripts/<name>.py`, which puts scripts/ (not
+# the repo root) on sys.path; make autovc_tpu importable regardless of cwd.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
 import pickle
 
 import numpy as np

@@ -32,9 +32,15 @@ Usage: python scripts/score_reference_results.py [--platform cpu]
 
 from __future__ import annotations
 
+import os
+import sys
+
+# Detached drivers run `python scripts/<name>.py`, which puts scripts/ (not
+# the repo root) on sys.path; make autovc_tpu importable regardless of cwd.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
-import os
 
 import numpy as np
 
@@ -68,7 +74,7 @@ def main(argv=None):
     ap.add_argument("--vocoder_ckpt", default="artifacts/hifigan.npz")
     ap.add_argument(
         "--wavenet_ckpt",
-        default="artifacts/wavenet_r4.npz",
+        default="artifacts/wavenet_105k.npz",
         help="committed continued-training checkpoint (see artifacts/README.md)",
     )
     ap.add_argument(

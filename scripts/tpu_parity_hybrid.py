@@ -23,6 +23,13 @@ Usage: python scripts/tpu_parity_hybrid.py [--frames 4] [--out FILE]
 
 from __future__ import annotations
 
+import os
+import sys
+
+# Detached drivers run `python scripts/<name>.py`, which puts scripts/ (not
+# the repo root) on sys.path; make autovc_tpu importable regardless of cwd.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 
@@ -49,9 +56,14 @@ def main():
 
     cases = []
 
+    # Lane-aligned variant of the unit test's geometry: the hybrid kernel's
+    # HBM ring DMAs slice (1, B, R) blocks whose minor dim Mosaic requires
+    # to be 128-aligned on real hardware (the r=16 test config compiles in
+    # interpret mode but is rejected on v5e; generate_pallas now guards
+    # this). Same layer/stack/threshold geometry, R padded to one lane tile.
     small = WaveNetConfig(
-        out_channels=12, layers=8, stacks=2, residual_channels=16,
-        gate_channels=16, skip_channels=8, cin_channels=80,
+        out_channels=12, layers=8, stacks=2, residual_channels=128,
+        gate_channels=128, skip_channels=128, cin_channels=80,
         upsample_scales=(4, 4, 4, 4),
     )
     # (name, cfg, threshold, dtype, batch, oracle, tol)

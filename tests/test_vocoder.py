@@ -444,6 +444,37 @@ def test_auto_hbm_threshold():
     assert auto_hbm_threshold(dils, 64, 2, 512) == 8
     with pytest.raises(ValueError, match="scan engine"):
         auto_hbm_threshold(dils, 4096, 4, 512)
+    # lane-misaligned residual channels can't spill to HBM (the ring DMAs
+    # slice (1, B, R) blocks; Mosaic requires R % 128 == 0 on real TPU) —
+    # fits-resident still returns None, must-spill raises toward scan
+    assert auto_hbm_threshold(dils, 2, 2, 16) is None
+    with pytest.raises(ValueError, match="residual_channels"):
+        auto_hbm_threshold(dils, 512, 4, 80)
+
+
+def test_hybrid_ring_lane_alignment_guard():
+    """generate_pallas rejects the hybrid path outside interpret mode when
+    residual_channels isn't a multiple of 128: the HBM ring DMAs copy
+    (1, B, R) slot slices whose minor dim Mosaic requires lane-aligned
+    (observed on real v5e: 'Slice shape along dimension 2 must be aligned
+    to tiling (128), but is 16'). Raised at trace time, before any
+    compile, so this is testable on the CPU backend."""
+    from autovc_tpu.ops.pallas_wavenet import generate_pallas, pack_weights
+
+    cfg = WaveNetConfig(
+        out_channels=12, layers=8, stacks=2, residual_channels=16,
+        gate_channels=16, skip_channels=8, cin_channels=80,
+        upsample_scales=(4, 4, 4, 4),
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    packed = pack_weights(params, cfg.layers, dtype=jnp.float32)
+    cond = jnp.zeros((2, 32, cfg.cin_channels), jnp.float32)
+    uniforms = jnp.full((2, 32, cfg.out_channels // 3 + 1), 0.5, jnp.float32)
+    with pytest.raises(ValueError, match="multiple of 128"):
+        generate_pallas(
+            packed, tuple(cfg.dilations()), cond, uniforms,
+            interpret=False, hbm_threshold=4,
+        )
 
 
 def test_wavenet_trainer_nonfinite_sentinel():
