@@ -2,20 +2,35 @@
 
 CPU interpret mode executes pallas async copies synchronously, so it cannot
 catch DMA hazards or Mosaic layout errors (CLAUDE.md round-2 lesson); this
-script runs the SAME comparison as tests/test_vocoder.py::
-test_pallas_hybrid_ring_matches_scan on the real chip, twice:
+script validates the hybrid ring on the real chip with three records:
 
-  1. the small 8-layer config at hbm_threshold=4 (4 of 8 layers through
-     the HBM/DMA path) — the test's exact geometry;
-  2. the production 24-layer config (WaveNetConfig defaults) in bf16 at
-     hbm_threshold=16, the placement auto_hbm_threshold picks for B=32 —
-     compared against the ALL-VMEM pallas kernel (hbm_threshold=None),
-     which computes identical math in the same dtype; only ring placement
-     differs, so the outputs must agree to ~0. B kept small (2) so the
-     all-VMEM oracle fits; ring placement is batch-independent in the
-     kernel, only ring SIZE scales with B.
+  1. `small_8layer_thr4_vs_vmem` — the unit test's 8-layer geometry
+     (lane-aligned, R=128) at hbm_threshold=4 (4 of 8 layers through the
+     HBM/DMA path) vs the ALL-VMEM pallas kernel. Identical math in the
+     same dtype; ONLY ring placement differs, so this isolates exactly
+     the thing hardware can break — the DMA hazard schedule — and must
+     be bit-exact (tol 1e-6).
+  2. `small_8layer_pallas_vs_scan_prefix` — pallas vs the scan oracle.
+     The two engines compute the same f32 math through different codegen
+     (Mosaic kernel vs XLA scan), so MoL logits differ at ULP level, and
+     generation is autoregressive with CONTINUOUS sampling (gumbel-max
+     mixture pick + logistic inverse-CDF): tiny per-step differences
+     feed back and grow chaotically (measured on v5e: first >2e-4 delta
+     at sample 620/50 for B=2, growing smoothly — 2.4e-4 at onset — to
+     0.26 by sample 1024). The meaningful invariant is therefore PREFIX
+     parity: sample-exact agreement (tol 2e-4) for >= 32 samples — a
+     full receptive-field cycle (2 stacks x dilations 1..8 ~= 30
+     samples), i.e. every layer's ring has wrapped at least once while
+     the engines still agree. Max delta and divergence onsets are
+     recorded as diagnostics, not gated: post-onset divergence is AR
+     chaos, not kernel error (record 1 proves the DMA path bit-exact).
+  3. `prod_24layer_thr16_bf16_vs_vmem` — the production 24-layer config
+     (WaveNetConfig defaults) in bf16 at hbm_threshold=16, the placement
+     auto_hbm_threshold picks for B=32, vs all-VMEM. B kept small (2) so
+     the all-VMEM oracle fits; ring placement is batch-independent in
+     the kernel, only ring SIZE scales with B. Must be bit-exact.
 
-Prints one JSON line per case. Reference for what this validates:
+Prints one JSON line per record. Reference for what this validates:
 /root/reference/synthesis.py:53-69 (the AR loop these engines replace).
 
 Usage: python scripts/tpu_parity_hybrid.py [--frames 4] [--out FILE]
@@ -54,7 +69,14 @@ def main():
 
     print("devices:", jax.devices())
 
-    cases = []
+    results = []
+
+    def emit(rec):
+        print(json.dumps(rec), flush=True)
+        results.append(rec)
+        if args.out:
+            with open(args.out, "a") as f:
+                f.write(json.dumps(rec) + "\n")
 
     # Lane-aligned variant of the unit test's geometry: the hybrid kernel's
     # HBM ring DMAs slice (1, B, R) blocks whose minor dim Mosaic requires
@@ -66,46 +88,76 @@ def main():
         gate_channels=128, skip_channels=128, cin_channels=80,
         upsample_scales=(4, 4, 4, 4),
     )
-    # (name, cfg, threshold, dtype, batch, oracle, tol)
-    cases.append(("small_8layer_thr4_vs_scan", small, 4, jnp.float32, 2,
-                  "scan", 2e-4))
-    prod = WaveNetConfig()
-    cases.append(("prod_24layer_thr16_bf16_vs_vmem", prod, 16, jnp.bfloat16,
-                  2, "pallas_vmem", 1e-6))
+    voc = WaveNetVocoder(small, init_params(small, jax.random.PRNGKey(5)))
+    mel = jnp.asarray(np.random.RandomState(3).rand(2, args.frames, 80),
+                      jnp.float32)
+    key = jax.random.PRNGKey(7)
+    w_scan = np.asarray(voc.generate(mel, key=key, dtype=jnp.float32),
+                        np.float64)
+    w_vmem = np.asarray(
+        voc.generate(mel, key=key, dtype=jnp.float32, engine="pallas",
+                     hbm_threshold=None),
+        np.float64,
+    )
+    w_hyb = np.asarray(
+        voc.generate(mel, key=key, dtype=jnp.float32, engine="pallas",
+                     hbm_threshold=4),
+        np.float64,
+    )
 
-    results = []
-    for name, cfg, thr, dtype, b, oracle, tol in cases:
-        voc = WaveNetVocoder(cfg, init_params(cfg, jax.random.PRNGKey(5)))
-        mel = jnp.asarray(
-            np.random.RandomState(3).rand(b, args.frames, 80), jnp.float32
-        )
-        key = jax.random.PRNGKey(7)
-        if oracle == "scan":
-            w_ref = np.asarray(
-                voc.generate(mel, key=key, dtype=dtype), np.float64
-            )
-        else:  # all-VMEM pallas: same kernel math, rings resident in VMEM
-            w_ref = np.asarray(
-                voc.generate(mel, key=key, dtype=dtype, engine="pallas",
-                             hbm_threshold=None),
-                np.float64,
-            )
-        w_hyb = np.asarray(
-            voc.generate(
-                mel, key=key, dtype=dtype, engine="pallas", hbm_threshold=thr
-            )
-        )
-        delta = float(np.max(np.abs(w_hyb.astype(np.float64) - w_ref)))
-        rec = {
-            "case": name, "dtype": str(dtype.__name__), "batch": b,
-            "frames": args.frames, "hbm_threshold": thr,
-            "max_abs_delta": delta, "tol": tol, "ok": bool(delta <= tol),
-        }
-        print(json.dumps(rec), flush=True)
-        results.append(rec)
-        if args.out:
-            with open(args.out, "a") as f:
-                f.write(json.dumps(rec) + "\n")
+    # Record 1: DMA-schedule isolation — placement is the ONLY difference.
+    delta = float(np.max(np.abs(w_hyb - w_vmem)))
+    emit({
+        "case": "small_8layer_thr4_vs_vmem", "dtype": "float32", "batch": 2,
+        "frames": args.frames, "hbm_threshold": 4,
+        "max_abs_delta": delta, "tol": 1e-6, "ok": bool(delta <= 1e-6),
+    })
+
+    # Record 2: pallas vs scan, prefix-exact until AR chaos onset (see
+    # module docstring). Gate: every batch row matches the scan oracle
+    # sample-for-sample (tol) for >= min_prefix samples; the divergence
+    # onset and magnitude are recorded as diagnostics only.
+    tol, min_prefix = 2e-4, 32
+    d = np.abs(w_vmem - w_scan)
+    n_samples = d.shape[-1]
+    first_div, delta_at_div = [], []
+    for i in range(d.shape[0]):
+        idx = np.nonzero(d[i] > tol)[0]
+        first_div.append(int(idx[0]) if idx.size else -1)
+        delta_at_div.append(float(d[i, idx[0]]) if idx.size else 0.0)
+    prefix = min(n_samples if f < 0 else f for f in first_div)
+    emit({
+        "case": "small_8layer_pallas_vs_scan_prefix", "dtype": "float32",
+        "batch": 2, "frames": args.frames, "n_samples": int(n_samples),
+        "max_abs_delta": float(d.max()), "prefix_tol": tol,
+        "first_divergence_sample": first_div,
+        "delta_at_divergence": delta_at_div,
+        "min_prefix": min_prefix,
+        "exact_prefix_samples": int(prefix),
+        "ok": bool(prefix >= min_prefix),
+    })
+
+    # Record 3: production geometry, bf16, auto-chosen placement, vs VMEM.
+    prod = WaveNetConfig()
+    voc = WaveNetVocoder(prod, init_params(prod, jax.random.PRNGKey(5)))
+    mel = jnp.asarray(np.random.RandomState(3).rand(2, args.frames, 80),
+                      jnp.float32)
+    w_ref = np.asarray(
+        voc.generate(mel, key=key, dtype=jnp.bfloat16, engine="pallas",
+                     hbm_threshold=None),
+        np.float64,
+    )
+    w_hyb = np.asarray(
+        voc.generate(mel, key=key, dtype=jnp.bfloat16, engine="pallas",
+                     hbm_threshold=16),
+        np.float64,
+    )
+    delta = float(np.max(np.abs(w_hyb - w_ref)))
+    emit({
+        "case": "prod_24layer_thr16_bf16_vs_vmem", "dtype": "bfloat16",
+        "batch": 2, "frames": args.frames, "hbm_threshold": 16,
+        "max_abs_delta": delta, "tol": 1e-6, "ok": bool(delta <= 1e-6),
+    })
 
     if not all(r["ok"] for r in results):
         raise SystemExit("hybrid-ring parity FAILED on real hardware")
