@@ -92,7 +92,13 @@ class ConvNorm(nn.Module):
 
 class BatchNorm(nn.Module):
     """BatchNorm over (B, T) per channel — torch BatchNorm1d semantics
-    (eps 1e-5, running-stat momentum 0.1 -> flax momentum 0.9)."""
+    (eps 1e-5, running-stat momentum 0.1 -> flax momentum 0.9).
+
+    use_fast_variance=False: the stable two-pass var = E[(x-mean)^2], like
+    torch — NOT flax's default E[x^2] - E[x]^2, whose cancellation amplifies
+    reduction-order rounding (a ~1e-7 relative delta in a cross-device mean
+    becomes ~4e-3 absolute in var when activations have large means; measured
+    on the 2-process-DP-vs-single-process seam, tests/test_multihost.py)."""
 
     use_running_average: bool | None = None
     momentum: float = 0.9
@@ -110,6 +116,7 @@ class BatchNorm(nn.Module):
             epsilon=self.epsilon,
             axis=-1,
             dtype=self.dtype,
+            use_fast_variance=False,
         )(x)
 
 

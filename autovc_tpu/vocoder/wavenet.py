@@ -352,8 +352,10 @@ def auto_hbm_threshold(
     ]
     if not fitting:
         raise ValueError(
-            f"batch {batch} needs {ring_mb(4):.1f} MB of VMEM rings even at "
-            "hbm_threshold=4; use the scan engine"
+            f"batch {batch} needs {ring_mb(4) + stage_mb(4):.1f} MB of VMEM "
+            f"(rings {ring_mb(4):.1f} + DMA staging {stage_mb(4):.1f}) even "
+            f"at hbm_threshold=4, over the {budget_mb:.1f} MB budget; use "
+            "the scan engine"
         )
     return fitting[0]
 
@@ -424,10 +426,14 @@ class WaveNetVocoder:
 
         hbm_threshold ('auto'|int|None, pallas engine only): dilations >=
         the threshold keep ring buffers in HBM, lifting the VMEM batch
-        ceiling (B=32). 'auto' picks the largest threshold whose VMEM
-        rings fit an ~8 MB budget (None when everything fits); thresholds
-        below 4 are invalid (hazard-free prefetch), so batches too large
-        for even threshold 4 raise with the measured ring size.
+        ceiling (measured above realtime per stream through B=64 on v5e,
+        docs/PERF.md §2). 'auto' picks the largest threshold whose VMEM
+        cost — resident rings PLUS the hybrid path's DMA staging blocks —
+        fits an ~8 MB budget (None when everything fits resident; e.g.
+        bf16 B=32 picks 16). Thresholds below 4 are invalid (hazard-free
+        prefetch), so batches too large for even threshold 4 raise with
+        the measured VMEM need. The HBM path additionally requires
+        residual_channels % 128 == 0 (Mosaic lane-aligned DMA slices).
         """
         if key is None:
             key = jax.random.PRNGKey(0)

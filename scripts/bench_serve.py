@@ -58,8 +58,15 @@ def run_side(args, batch_window_ms: float, payloads) -> dict:
         cmd += ["--batch_window", str(batch_window_ms),
                 "--max_batch", str(args.max_batch),
                 "--bucket", str(args.bucket)]
+    # the child resolves `-m autovc_tpu.cli.serve` from ITS environment, not
+    # the parent's sys.path — export the repo root so a detached driver can
+    # run this script from any cwd
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     proc = subprocess.Popen(
-        cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env,
     )
     base = f"http://127.0.0.1:{port}"
     try:

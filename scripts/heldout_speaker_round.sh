@@ -24,17 +24,24 @@ BATCH=${2:-6}
 # Wall-clock cap (VERDICT r4 item 8: no headline claim may depend on an
 # in-flight process at snapshot time). If /tmp/heldout_deadline holds an
 # epoch-seconds deadline for the TRAINING leg, shrink NUM_ITERS to fit:
-# ~90 train steps/s at B=6 on the v5e (VALIDATION_r2 §1 step rates), minus
-# compile + checkpoint slack. Floor at 20k so a late start still produces
-# a generator worth scoring rather than noise.
+# ~60 train steps/s at B=6 on the v5e (measured: the round-5 225k-iter leg
+# ran ~61 min, VALIDATION_r5 §5 — the earlier 90/s estimate overshot the
+# deadline by ~45%), minus compile + checkpoint slack. Floor at 20k so a
+# late start still produces a generator worth scoring rather than noise.
 if [ -f /tmp/heldout_deadline ]; then
   _now=$(date +%s); _deadline=$(cat /tmp/heldout_deadline)
-  _fit=$(( (_deadline - _now - 180) * 90 ))
-  if [ "$_fit" -lt "$NUM_ITERS" ]; then
-    [ "$_fit" -ge 20000 ] || _fit=20000
-    echo "[heldout] wall-clock cap: $NUM_ITERS -> $_fit iters" \
-         "(deadline $(date -u -d "@${_deadline}" +%H:%M:%S) UTC)"
-    NUM_ITERS=$_fit
+  if [ "$_deadline" -le "$_now" ]; then
+    # a deadline in the past is a stale file from an earlier round, not a
+    # live cap — ignore it rather than silently flooring a full run to 20k
+    echo "[heldout] ignoring stale /tmp/heldout_deadline (already passed)"
+  else
+    _fit=$(( (_deadline - _now - 180) * 60 ))
+    if [ "$_fit" -lt "$NUM_ITERS" ]; then
+      [ "$_fit" -ge 20000 ] || _fit=20000
+      echo "[heldout] wall-clock cap: $NUM_ITERS -> $_fit iters" \
+           "(deadline $(date -u -d "@${_deadline}" +%H:%M:%S) UTC)"
+      NUM_ITERS=$_fit
+    fi
   fi
 fi
 RUN=heldout_p228

@@ -39,13 +39,24 @@ phase() { # phase NAME cmd...
 }
 
 # 0. wait for the watchdog (by pid if given, else by its completion line)
+_log_done() {
+  grep -qE "\[watchdog\] (complete|trainer exited clean|chip did not recover)" \
+    /tmp/wavenet_r5.log 2>/dev/null
+}
 if [ -n "$WATCHDOG_PID" ]; then
   while kill -0 "$WATCHDOG_PID" 2>/dev/null; do sleep 30; done
+  # pid gone: grace period for the completion line, then proceed anyway —
+  # an OOM-killed watchdog (or a wiped /tmp log) must not hang the battery
+  for _ in 1 2 3 4; do _log_done && break; sleep 15; done
+  if ! _log_done; then
+    note "watchdog pid gone WITHOUT a completion line; proceeding to battery"
+  fi
+else
+  while ! _log_done; do sleep 30; done
 fi
-while ! grep -qE "\[watchdog\] (complete|trainer exited clean|chip did not recover)" /tmp/wavenet_r5.log 2>/dev/null; do
-  sleep 30
-done
-note "watchdog leg finished: $(tail -n 1 /tmp/wavenet_r5.log)"
+if _log_done; then
+  note "watchdog leg finished: $(tail -n 1 /tmp/wavenet_r5.log)"
+fi
 
 # 1. promote the checkpoint (EMA params npz written by the trainer)
 if [ -f _runs/wavenet_r5.npz ]; then

@@ -29,8 +29,17 @@ phase() { # phase NAME cmd...
 
 if [ -n "$E1_PID" ]; then
   while kill -0 "$E1_PID" 2>/dev/null; do sleep 30; done
+  # pid gone: grace period for the status line, then proceed anyway — a
+  # killed part-1 driver must not hang part 2 forever (its phases record
+  # their own FAIL lines if the chip is actually still busy)
+  for _ in 1 2 3 4; do
+    grep -q "endgame complete" "$STATUS" 2>/dev/null && break; sleep 15
+  done
+  grep -q "endgame complete" "$STATUS" 2>/dev/null \
+    || note "part-1 pid gone WITHOUT 'endgame complete'; proceeding"
+else
+  while ! grep -q "endgame complete" "$STATUS" 2>/dev/null; do sleep 30; done
 fi
-while ! grep -q "endgame complete" "$STATUS" 2>/dev/null; do sleep 30; done
 note "part 1 complete; chip assumed idle"
 
 phase head2head python scripts/score_reference_results.py \

@@ -68,15 +68,20 @@ def main():
     from autovc_tpu.vocoder.wavenet import WaveNetVocoder, init_params
 
     print("devices:", jax.devices())
+    platform = jax.devices()[0].platform
+    if args.platform == "tpu" and platform not in ("tpu", "axon"):
+        raise SystemExit(
+            f"--platform tpu requested but jax backend is {platform!r}: this "
+            "environment latches JAX_PLATFORMS before user code (CLAUDE.md); "
+            "records from a CPU run must not masquerade as hardware evidence"
+        )
 
     results = []
 
     def emit(rec):
+        rec = dict(rec, platform=platform)
         print(json.dumps(rec), flush=True)
         results.append(rec)
-        if args.out:
-            with open(args.out, "a") as f:
-                f.write(json.dumps(rec) + "\n")
 
     # Lane-aligned variant of the unit test's geometry: the hybrid kernel's
     # HBM ring DMAs slice (1, B, R) blocks whose minor dim Mosaic requires
@@ -159,9 +164,16 @@ def main():
         "max_abs_delta": delta, "tol": 1e-6, "ok": bool(delta <= 1e-6),
     })
 
+    if args.out:
+        # overwrite, don't append: reruns must not mix stale records into
+        # the committed artifact (written before the gate so a failing run
+        # still leaves its evidence on disk)
+        with open(args.out, "w") as f:
+            for rec in results:
+                f.write(json.dumps(rec) + "\n")
     if not all(r["ok"] for r in results):
         raise SystemExit("hybrid-ring parity FAILED on real hardware")
-    print("hybrid-ring parity OK on", jax.devices()[0].platform)
+    print("hybrid-ring parity OK on", platform)
 
 
 if __name__ == "__main__":
